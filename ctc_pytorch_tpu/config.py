@@ -1,0 +1,250 @@
+"""Typed configuration for the whole pipeline.
+
+One dataclass replaces the reference's three config generations (YAML attr-bag
+with ``eval()`` at ``timit/steps/train_ctc.py:71-79,105-109``, INI ConfigParser
+at ``my_863_corpus/steps/cnn_lstm_ctc.py:102-152``, and Kaldi ``.conf`` flag
+files).  It is YAML-compatible with ``timit/conf/ctc_config.yaml`` key-for-key,
+round-trips losslessly, never calls ``eval`` (layer tuples are parsed with
+``ast.literal_eval``), and is stored whole inside checkpoints so a model can be
+rebuilt from a checkpoint alone (the reference's checkpoint-as-contract
+behaviour, ``timit/steps/test_ctc.py:38-60``).
+"""
+
+from __future__ import annotations
+
+import ast
+import configparser
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, List, Optional, Tuple
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - yaml is in the base image
+    yaml = None
+
+Pair = Tuple[int, int]
+
+
+def _parse_pairs(value: Any) -> List[Pair]:
+    """Parse ``"[(1, 32), (32, 32)]"`` into ``[(1, 32), (32, 32)]`` safely.
+
+    The reference uses ``eval()`` for this (``timit/steps/train_ctc.py:105-109``);
+    we use ``ast.literal_eval`` and normalise ints to pairs.
+    """
+    if value is None:
+        return []
+    if isinstance(value, str):
+        value = value.strip()
+        if value in ("", "None", "none", "null"):
+            return []
+        value = ast.literal_eval(value)
+    if isinstance(value, tuple):
+        value = [value]
+    out = []
+    for item in value:
+        if isinstance(item, int):
+            item = (item, item)
+        out.append((int(item[0]), int(item[1])))
+    return out
+
+
+@dataclass
+class CNNConfig:
+    """The ``#CNN`` block of ``timit/conf/ctc_config.yaml:29-38``."""
+
+    add_cnn: bool = False
+    layers: int = 0
+    channel: List[Pair] = field(default_factory=list)
+    kernel_size: List[Pair] = field(default_factory=list)
+    stride: List[Pair] = field(default_factory=list)
+    padding: List[Pair] = field(default_factory=list)
+    pooling: Optional[List[Pair]] = None
+    batch_norm: bool = True
+    activation_function: str = "relu"
+
+    def time_downsample(self) -> int:
+        """Total stride along the time axis through the conv (+pool) stack."""
+        ds = 1
+        for i in range(self.layers):
+            ds *= self.stride[i][0]
+            if self.pooling:
+                ds *= self.pooling[i][0]
+        return ds
+
+    def output_time_len(self, t: int) -> int:
+        """Frames out of the conv stack for ``t`` frames in (floor conv arith)."""
+        for i in range(self.layers):
+            k, s, p = self.kernel_size[i][0], self.stride[i][0], self.padding[i][0]
+            t = (t + 2 * p - k) // s + 1
+            if self.pooling:
+                t = (t - self.pooling[i][0]) // self.pooling[i][0] + 1
+        return t
+
+    def output_freq_len(self, f: int) -> int:
+        """Feature-axis size after the conv stack (``model_ctc.py:111,116``)."""
+        for i in range(self.layers):
+            k, s, p = self.kernel_size[i][1], self.stride[i][1], self.padding[i][1]
+            f = (f + 2 * p - k) // s + 1
+            if self.pooling:
+                f = (f - self.pooling[i][1]) // self.pooling[i][1] + 1
+        return f
+
+
+@dataclass
+class Config:
+    """Flat config mirroring ``timit/conf/ctc_config.yaml`` keys."""
+
+    # exp
+    exp_name: str = "ctc_fbank_cnn"
+    checkpoint_dir: str = "checkpoint/"
+
+    # data
+    vocab_file: str = "data/units"
+    train_scp_path: str = "data/train/fbank.scp"
+    train_lab_path: str = "data/train/phn_text"
+    valid_scp_path: str = "data/dev/fbank.scp"
+    valid_lab_path: str = "data/dev/phn_text"
+    left_ctx: int = 0
+    right_ctx: int = 2
+    n_skip_frame: int = 2
+    n_downsample: int = 2
+    num_workers: int = 1
+    shuffle_train: bool = True
+    feature_dim: int = 81
+    output_class_dim: int = 39
+    mel: bool = False
+    feature_type: str = "fbank"
+
+    # model
+    rnn_input_size: int = 243
+    rnn_hidden_size: int = 384
+    rnn_layers: int = 4
+    rnn_type: str = "lstm"  # accepts reference spellings "nn.LSTM" etc.
+    bidirectional: bool = True
+    batch_norm: bool = True
+    drop_out: float = 0.2
+
+    # cnn
+    cnn: CNNConfig = field(default_factory=CNNConfig)
+
+    # training
+    use_gpu: bool = True  # kept for YAML compat; interpreted as "use accelerator"
+    init_lr: float = 1e-3
+    num_epoches: int = 500
+    end_adjust_acc: float = 2.0
+    lr_decay: float = 0.5
+    batch_size: int = 8
+    weight_decay: float = 5e-4
+    seed: int = 1
+    verbose_step: int = 50
+    grad_clip: float = 0.0  # 863 recipe clips at 400 (cnn_lstm_ctc.py:52); 0 = off
+    max_frames: int = 512  # static pad/bucket ceiling (XLA static shapes)
+    max_label_len: int = 96
+    num_buckets: int = 4
+    dtype: str = "bfloat16"  # compute dtype for matmuls; params/loss stay fp32
+    data_axis: str = "data"  # mesh axis name for data parallelism
+    save_every: int = 0  # periodic durable checkpoint cadence (epochs); 0 = off
+
+    # test
+    test_scp_path: str = "data/test/fbank.scp"
+    test_lab_path: str = "data/test/phn_text"
+    decode_type: str = "Greedy"
+    beam_width: int = 10
+    lm_alpha: float = 0.1
+    lm_path: str = "data/lm_phone_bg.arpa"
+
+    # ------------------------------------------------------------------
+    @property
+    def rnn_cell(self) -> str:
+        """Normalise reference spellings ``nn.LSTM``/``nn.GRU``/``nn.RNN``."""
+        t = self.rnn_type.lower()
+        for name in ("lstm", "gru", "rnn"):
+            if name in t:
+                return name
+        raise ValueError(f"unknown rnn_type: {self.rnn_type!r}")
+
+    @property
+    def spliced_dim(self) -> int:
+        return self.feature_dim * (self.left_ctx + self.right_ctx + 1)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        cnn = d.pop("cnn")
+        # pairs serialise as the reference's string form, e.g. "[(1, 32), (32, 32)]"
+        for pk in ("channel", "kernel_size", "stride", "padding", "pooling"):
+            v = cnn[pk]
+            cnn[pk] = "None" if not v else str([tuple(p) for p in v])
+        d.update({f"cnn_{k}" if k in d else k: v for k, v in cnn.items()})
+        return d
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "Config":
+        raw = dict(raw)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        cnn_names = {f.name for f in dataclasses.fields(CNNConfig)}
+        cnn_kwargs: dict = {}
+        kwargs: dict = {}
+        for key, value in raw.items():
+            k = key.strip()
+            if k.startswith("cnn_") and k[4:] in cnn_names:
+                cnn_kwargs[k[4:]] = value
+            elif k in ("add_cnn", "layers", "channel", "kernel_size", "stride",
+                       "padding", "pooling", "activation_function"):
+                cnn_kwargs[k] = value
+            elif k in field_names:
+                kwargs[k] = value
+            # silently ignore unknown keys (reference YAML has duplicates)
+        for pk in ("channel", "kernel_size", "stride", "padding"):
+            if pk in cnn_kwargs:
+                cnn_kwargs[pk] = _parse_pairs(cnn_kwargs[pk])
+        if "pooling" in cnn_kwargs:
+            p = _parse_pairs(cnn_kwargs["pooling"])
+            cnn_kwargs["pooling"] = p if p else None
+        if "batch_norm" in kwargs:
+            cnn_kwargs.setdefault("batch_norm", kwargs["batch_norm"])
+        cfg = cls(**kwargs)
+        cfg.cnn = CNNConfig(**cnn_kwargs)
+        return cfg
+
+    # -- serialisation -------------------------------------------------
+    def to_yaml(self, path: str | Path) -> None:
+        d = self.to_dict()
+        Path(path).write_text(yaml.safe_dump(d, sort_keys=False))
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+
+def load_config(path: str | Path) -> Config:
+    """Load YAML (timit-style) or INI (863-style) config files."""
+    path = Path(path)
+    text = path.read_text()
+    if path.suffix in (".conf", ".ini") or text.lstrip().startswith("["):
+        parser = configparser.ConfigParser()
+        parser.read_string(text)
+        raw: dict = {}
+        for section in parser.sections():
+            for key, value in parser.items(section):
+                raw[key] = _coerce(value)
+        return Config.from_dict(raw)
+    raw = yaml.safe_load(text) or {}
+    return Config.from_dict(raw)
+
+
+def _coerce(value: str) -> Any:
+    v = value.strip()
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
