@@ -1,0 +1,98 @@
+"""Shared functional layers: batch-norm, dropout, linear, initialisers.
+
+Params and mutable state are plain pytrees (dicts), so the whole model jits,
+shards, and checkpoints without a module framework — and Pallas kernels can be
+swapped under the same interfaces.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def uniform_init(key, shape, bound: float, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_rnn_init(key, shape, hidden_size: int, dtype=jnp.float32):
+    """torch nn.LSTM/GRU/RNN default: U(-1/sqrt(H), 1/sqrt(H))."""
+    return uniform_init(key, shape, 1.0 / math.sqrt(hidden_size), dtype)
+
+
+def kaiming_uniform(key, shape, fan_in: int, dtype=jnp.float32):
+    """torch Conv/Linear default (kaiming uniform, a=sqrt(5))."""
+    return uniform_init(key, shape, 1.0 / math.sqrt(fan_in), dtype)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm over the feature axis (reference BatchRNN/fc BN semantics:
+# statistics over every (time, batch) position per feature, padding included —
+# model_ctc.py:29-32,135-140)
+# ---------------------------------------------------------------------------
+
+def batchnorm_init(dim: int) -> Tuple[Dict, Dict]:
+    params = {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+    state = {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,)),
+             "count": jnp.zeros((), jnp.int32)}
+    return params, state
+
+
+def batchnorm_apply(
+    params: Dict,
+    state: Dict,
+    x: jnp.ndarray,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Normalise the last axis of ``x`` (any leading shape)."""
+    feat = x.shape[-1]
+    flat = x.reshape(-1, feat)
+    if train:
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.var(flat, axis=0)
+        n = flat.shape[0]
+        # torch running_var uses the unbiased estimator
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "count": state["count"] + 1,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x - mean) * (inv * params["scale"]) + params["bias"]
+    return out.astype(x.dtype), new_state
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = False) -> Dict:
+    kw, kb = jax.random.split(key)
+    params = {"w": kaiming_uniform(kw, (in_dim, out_dim), in_dim)}
+    if bias:
+        params["b"] = uniform_init(kb, (out_dim,), 1.0 / math.sqrt(in_dim))
+    return params
+
+
+def linear_apply(params: Dict, x: jnp.ndarray, compute_dtype=jnp.float32):
+    out = jnp.dot(
+        x.astype(compute_dtype),
+        params["w"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in params:
+        out = out + params["b"]
+    return out

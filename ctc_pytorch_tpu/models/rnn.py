@@ -1,0 +1,225 @@
+"""Recurrent stack: bias-free LSTM/GRU/RNN cells under ``jax.lax.scan``.
+
+TPU-first design, replacing the reference's cuDNN ``nn.LSTM/GRU/RNN``
+(``timit/models/model_ctc.py:24-25``):
+
+- **time-major** layout ``(T, B, F)`` so each scan step is one batched matmul;
+- the input projection ``x @ W_ih^T`` for *all* timesteps is hoisted out of the
+  scan into a single large MXU matmul; the scan carries only the ``h @ W_hh^T``
+  recurrence;
+- gate weights are fused into one ``(F, 4H)`` / ``(H, 4H)`` matrix per layer
+  (torch gate order i,f,g,o for LSTM and r,z,n for GRU, so checkpoints are
+  weight-compatible with the reference layout);
+- bidirectional = a second scan over the time-reversed sequence.  By default
+  the reversal covers the **full padded length**, matching the reference's
+  unpacked ``nn.LSTM`` on padded batches (timit path); ``lengths`` triggers
+  per-utterance reversal matching the 863 packed-sequence path
+  (``my_863_corpus/steps/lstm_ctc.py:40-42``);
+- params stay fp32; matmuls run in ``compute_dtype`` (bf16 on TPU) with fp32
+  accumulation; the cell state stays fp32 for numerical stability.
+
+A fused Pallas kernel (ops/lstm_pallas.py) plugs in under the same function
+signature for the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ctc_pytorch_tpu.models.layers import (
+    batchnorm_apply,
+    batchnorm_init,
+    dropout,
+    torch_rnn_init,
+)
+
+GATES = {"lstm": 4, "gru": 3, "rnn": 1}
+
+
+def cell_init(key, cell: str, input_size: int, hidden_size: int) -> Dict:
+    """One direction of one layer. Bias-free per ``model_ctc.py:24-25``."""
+    n = GATES[cell]
+    k1, k2 = jax.random.split(key)
+    return {
+        # stored transposed relative to torch ((in, n*H) not (n*H, in)) so the
+        # forward pass is a plain x @ w without per-step transposes
+        "w_ih": torch_rnn_init(k1, (input_size, n * hidden_size), hidden_size),
+        "w_hh": torch_rnn_init(k2, (hidden_size, n * hidden_size), hidden_size),
+    }
+
+
+def _matmul(a, b, compute_dtype):
+    return jnp.dot(
+        a.astype(compute_dtype), b.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _lstm_step(w_hh, h, c, gx, compute_dtype):
+    gates = gx + _matmul(h, w_hh, compute_dtype)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return h, c
+
+
+def _gru_step(w_hh, h, gx, compute_dtype):
+    hh = _matmul(h, w_hh, compute_dtype)
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(gx[..., :H] + hh[..., :H])
+    z = jax.nn.sigmoid(gx[..., H : 2 * H] + hh[..., H : 2 * H])
+    n = jnp.tanh(gx[..., 2 * H :] + r * hh[..., 2 * H :])
+    return (1.0 - z) * n + z * h
+
+
+def _scan_direction(
+    params: Dict,
+    x: jnp.ndarray,
+    cell: str,
+    hidden_size: int,
+    reverse: bool,
+    compute_dtype,
+) -> jnp.ndarray:
+    """Run one direction over (T, B, F); returns (T, B, H)."""
+    t, b, _ = x.shape
+    # hoist the input projection out of the scan: one big MXU matmul
+    gx = _matmul(x.reshape(t * b, -1), params["w_ih"], compute_dtype)
+    gx = gx.reshape(t, b, -1)
+    h0 = jnp.zeros((b, hidden_size), jnp.float32)
+    w_hh = params["w_hh"]
+
+    if cell == "lstm":
+        def step(carry, gx_t):
+            h, c = carry
+            h, c = _lstm_step(w_hh, h, c, gx_t, compute_dtype)
+            return (h, c), h
+
+        (_, _), ys = jax.lax.scan(step, (h0, h0), gx, reverse=reverse)
+    elif cell == "gru":
+        def step(h, gx_t):
+            h = _gru_step(w_hh, h, gx_t, compute_dtype)
+            return h, h
+
+        _, ys = jax.lax.scan(step, h0, gx, reverse=reverse)
+    else:  # vanilla tanh RNN
+        def step(h, gx_t):
+            h = jnp.tanh(gx_t + _matmul(h, w_hh, compute_dtype))
+            return h, h
+
+        _, ys = jax.lax.scan(step, h0, gx, reverse=reverse)
+    return ys
+
+
+def _flip_within_lengths(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each (T, B, F) sequence within its own valid length."""
+    t = x.shape[0]
+    idx = jnp.arange(t)[:, None]  # (T, 1)
+    src = lengths[None, :] - 1 - idx  # (T, B)
+    src = jnp.where(src >= 0, src, idx)  # padding frames stay in place
+    return jnp.take_along_axis(x, jnp.broadcast_to(src[:, :, None], x.shape), axis=0)
+
+
+def rnn_layer_init(
+    key, cell: str, input_size: int, hidden_size: int, bidirectional: bool,
+    batch_norm: bool,
+) -> Tuple[Dict, Dict]:
+    """BatchRNN equivalent: optional feature BN -> rnn (``model_ctc.py:13-36``)."""
+    kf, kb2, kbn = jax.random.split(key, 3)
+    params: Dict = {"fwd": cell_init(kf, cell, input_size, hidden_size)}
+    state: Dict = {}
+    if bidirectional:
+        params["bwd"] = cell_init(kb2, cell, input_size, hidden_size)
+    if batch_norm:
+        params["bn"], state["bn"] = batchnorm_init(input_size)
+    return params, state
+
+
+def rnn_layer_apply(
+    params: Dict,
+    state: Dict,
+    x: jnp.ndarray,
+    *,
+    cell: str,
+    hidden_size: int,
+    drop_rate: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    lengths: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict]:
+    """(T, B, F) -> (T, B, H * num_directions), plus new BN state."""
+    new_state = dict(state)
+    if "bn" in params:
+        x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
+    out = _scan_direction(params["fwd"], x, cell, hidden_size, False, compute_dtype)
+    if "bwd" in params:
+        if lengths is None:
+            back = _scan_direction(
+                params["bwd"], x, cell, hidden_size, True, compute_dtype
+            )
+        else:
+            xr = _flip_within_lengths(x, lengths)
+            back = _scan_direction(
+                params["bwd"], xr, cell, hidden_size, False, compute_dtype
+            )
+            back = _flip_within_lengths(back, lengths)
+        out = jnp.concatenate([out, back], axis=-1)
+    out = dropout(out, drop_rate, rng, train)
+    return out, new_state
+
+
+def rnn_stack_init(
+    key,
+    *,
+    cell: str,
+    input_size: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool,
+    batch_norm: bool,
+) -> Tuple[list, list]:
+    """Stacked BatchRNNs; first layer has no BN (``model_ctc.py:126-133``)."""
+    dirs = 2 if bidirectional else 1
+    params, states = [], []
+    keys = jax.random.split(key, num_layers)
+    for i in range(num_layers):
+        in_dim = input_size if i == 0 else dirs * hidden_size
+        p, s = rnn_layer_init(
+            keys[i], cell, in_dim, hidden_size, bidirectional,
+            batch_norm and i > 0,
+        )
+        params.append(p)
+        states.append(s)
+    return params, states
+
+
+def rnn_stack_apply(
+    params: list,
+    states: list,
+    x: jnp.ndarray,
+    *,
+    cell: str,
+    hidden_size: int,
+    drop_rate: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    lengths: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, list]:
+    new_states = []
+    rngs = (
+        jax.random.split(rng, len(params)) if (rng is not None and train) else
+        [None] * len(params)
+    )
+    for p, s, r in zip(params, states, rngs):
+        x, ns = rnn_layer_apply(
+            p, s, x,
+            cell=cell, hidden_size=hidden_size, drop_rate=drop_rate,
+            train=train, rng=r, lengths=lengths, compute_dtype=compute_dtype,
+        )
+        new_states.append(ns)
+    return x, new_states

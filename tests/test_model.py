@@ -1,0 +1,105 @@
+"""CTCModel end-to-end shape/semantics tests (reference config shapes)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ctc_pytorch_tpu.config import CNNConfig, Config
+from ctc_pytorch_tpu.models import CTCModel
+from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+
+
+def _ref_cfg():
+    cfg = Config()
+    cfg.cnn = CNNConfig(
+        add_cnn=True, layers=2,
+        channel=[(1, 32), (32, 32)],
+        kernel_size=[(3, 3), (3, 3)],
+        stride=[(1, 2), (2, 2)],
+        padding=[(1, 1), (1, 1)],
+        batch_norm=True,
+    )
+    cfg.dtype = "float32"
+    return cfg
+
+
+def test_cnn_model_shapes():
+    cfg = _ref_cfg()
+    spec = ModelSpec.from_config(cfg, num_class=41)
+    assert spec.rnn_in_after_cnn == 61 * 32  # freq 243 -> 61, 32 channels
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 243), jnp.float32)
+    log_probs, new_state = CTCModel.apply(spec, params, state, x)
+    # time: 32 -> conv s=(1,·) 32 -> conv s=(2,·) 16
+    assert log_probs.shape == (16, 2, 41)
+    assert spec.output_time_len(32) == 16
+    # log-softmax normalised
+    np.testing.assert_allclose(
+        np.exp(np.asarray(log_probs)).sum(-1), 1.0, rtol=2e-4
+    )
+
+
+def test_no_cnn_model_shapes():
+    cfg = _ref_cfg()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.rnn_input_size = 81
+    spec = ModelSpec.from_config(cfg, num_class=41)
+    params, state = CTCModel.init(jax.random.PRNGKey(1), spec)
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 20, 81), jnp.float32)
+    log_probs, _ = CTCModel.apply(spec, params, state, x)
+    assert log_probs.shape == (20, 3, 41)
+    assert spec.output_time_len(20) == 20
+
+
+def test_train_updates_bn_state_and_dropout_determinism():
+    cfg = _ref_cfg()
+    spec = ModelSpec.from_config(cfg, num_class=10)
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 243), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    out1, st1 = CTCModel.apply(spec, params, state, x, train=True, rng=rng)
+    out2, _ = CTCModel.apply(spec, params, state, x, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+    # BN running stats moved
+    assert not np.allclose(
+        np.asarray(st1["fc_bn"]["mean"]), np.asarray(state["fc_bn"]["mean"])
+    )
+    # eval path is deterministic without rng
+    out3, _ = CTCModel.apply(spec, params, state, x)
+    out4, _ = CTCModel.apply(spec, params, state, x)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(out4))
+
+
+def test_visualize_returns_intermediates():
+    cfg = _ref_cfg()
+    spec = ModelSpec.from_config(cfg, num_class=10)
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+    x = jnp.ones((1, 16, 243), jnp.float32)
+    out, _, visual = CTCModel.apply(spec, params, state, x, visualize=True)
+    assert len(visual) == 4  # input, post-cnn, pre-rnn, output
+
+
+def test_spec_roundtrip():
+    spec = ModelSpec.from_config(_ref_cfg(), num_class=41)
+    spec2 = ModelSpec.from_dict(spec.to_dict())
+    assert spec2 == spec
+
+
+def test_gru_variant_and_jit():
+    cfg = _ref_cfg()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.rnn_type = "nn.GRU"
+    cfg.rnn_input_size = 40
+    cfg.rnn_hidden_size = 32
+    cfg.rnn_layers = 2
+    spec = ModelSpec.from_config(cfg, num_class=8)
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+
+    @jax.jit
+    def fwd(p, s, x):
+        return CTCModel.apply(spec, p, s, x)[0]
+
+    x = jnp.ones((2, 12, 40), jnp.float32)
+    out = fwd(params, state, x)
+    assert out.shape == (12, 2, 8)
