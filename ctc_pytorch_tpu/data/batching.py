@@ -1,0 +1,185 @@
+"""Static-shape bucketed batching for XLA.
+
+Replaces the reference's variable-length collate (``create_input``,
+``timit/utils/data_loader.py:119-151``) with a TPU-first design: utterances
+are grouped into a small set of **length buckets** so every batch has one of a
+few static (T, L) shapes — bounding XLA recompilation — and padded with zeros.
+
+The reference's fractional-length contract is preserved: each batch carries
+``input_frac = frames / T_bucket`` exactly like ``create_input``'s
+``feature_length / inputs_max_length`` (``data_loader.py:137``), which the
+train step rescales by the post-CNN output length (``train_ctc.py:46``).
+True frame counts are carried too for mask-based consumers.
+
+Batches are sized to ``batch_size`` with the final ragged batch padded by
+**repeating items** (weighted out of the loss via ``example_mask``) so batch
+shape is also static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Batch:
+    feats: np.ndarray  # (B, T, F) float32
+    input_frac: np.ndarray  # (B,) float32, frames / T  (reference contract)
+    input_lengths: np.ndarray  # (B,) int32, valid frames
+    labels: np.ndarray  # (B, L) int32
+    label_lengths: np.ndarray  # (B,) int32
+    utts: List[str]
+    example_mask: np.ndarray  # (B,) float32; 0 for repeat-padding rows
+
+    @property
+    def batch_size(self) -> int:
+        return self.feats.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def collate(
+    items: Sequence, t_pad: Optional[int] = None, l_pad: Optional[int] = None
+) -> Batch:
+    """Pad a list of (feat, label, utt) tuples into one Batch."""
+    feats = [it[0] for it in items]
+    labels = [it[1] for it in items]
+    utts = [it[2] for it in items]
+    b = len(items)
+    t_max = t_pad or max(f.shape[0] for f in feats)
+    l_max = l_pad or max(max((len(l) for l in labels), default=1), 1)
+    dim = feats[0].shape[1]
+    out_f = np.zeros((b, t_max, dim), np.float32)
+    out_l = np.zeros((b, l_max), np.int32)
+    in_len = np.zeros((b,), np.int32)
+    lab_len = np.zeros((b,), np.int32)
+    for i, (f, l) in enumerate(zip(feats, labels)):
+        out_f[i, : f.shape[0]] = f
+        out_l[i, : len(l)] = l
+        in_len[i] = f.shape[0]
+        lab_len[i] = len(l)
+    return Batch(
+        feats=out_f,
+        input_frac=(in_len / t_max).astype(np.float32),
+        input_lengths=in_len,
+        labels=out_l,
+        label_lengths=lab_len,
+        utts=utts,
+        example_mask=np.ones((b,), np.float32),
+    )
+
+
+class BucketBatcher:
+    """Assign items to static length buckets; yield fixed-shape batches."""
+
+    def __init__(
+        self,
+        lengths: np.ndarray,
+        label_lengths: np.ndarray,
+        batch_size: int,
+        num_buckets: int = 4,
+        align: int = 8,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = False,
+    ):
+        self.lengths = np.asarray(lengths)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        # bucket boundaries at length quantiles, aligned up
+        qs = np.quantile(self.lengths, np.linspace(0, 1, num_buckets + 1)[1:])
+        self.boundaries = sorted({_round_up(int(np.ceil(q)), align) for q in qs})
+        if self.boundaries[-1] < self.lengths.max():
+            self.boundaries[-1] = _round_up(int(self.lengths.max()), align)
+        # one static label pad per bucket keeps (T, L) pairs few
+        self.label_pad = max(1, _round_up(int(np.max(label_lengths)), align))
+        self._assignment = np.searchsorted(self.boundaries, self.lengths)
+
+    def bucket_of(self, idx: int) -> int:
+        return int(self.boundaries[self._assignment[idx]])
+
+    def epoch_batches(self, epoch: int) -> Iterator[tuple]:
+        """Yield (indices, t_pad, l_pad) with deterministic per-epoch shuffle."""
+        rng = np.random.RandomState(self.seed + epoch)
+        for b_idx, bound in enumerate(self.boundaries):
+            members = np.nonzero(self._assignment == b_idx)[0]
+            if len(members) == 0:
+                continue
+            if self.shuffle:
+                rng.shuffle(members)
+            batches = [
+                members[i : i + self.batch_size]
+                for i in range(0, len(members), self.batch_size)
+            ]
+            if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+                batches.pop()
+            for chunk in batches:
+                yield chunk, bound, self.label_pad
+
+    def num_batches(self) -> int:
+        n = 0
+        for b_idx in range(len(self.boundaries)):
+            members = int(np.sum(self._assignment == b_idx))
+            if members == 0:
+                continue
+            if self.drop_last:
+                n += members // self.batch_size
+            else:
+                n += -(-members // self.batch_size)
+        return n
+
+
+class SpeechDataLoader:
+    """Bucketed loader over a SpeechDataset (host-side, deterministic).
+
+    Batch shapes are static per bucket; ragged final batches are repeat-padded
+    to ``batch_size`` with ``example_mask`` zeros so XLA sees one batch shape.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_buckets: int = 4,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_to_full_batch: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pad_to_full_batch = pad_to_full_batch
+        self.batcher = BucketBatcher(
+            dataset.lengths(),
+            dataset.label_lengths(),
+            batch_size,
+            num_buckets=num_buckets,
+            seed=seed,
+            shuffle=shuffle,
+            drop_last=drop_last,
+        )
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return self.batcher.num_batches()
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Batch]:
+        for indices, t_pad, l_pad in self.batcher.epoch_batches(self.epoch):
+            items = [self.dataset[int(i)] for i in indices]
+            n_real = len(items)
+            if self.pad_to_full_batch and n_real < self.batch_size:
+                items = items + [items[-1]] * (self.batch_size - n_real)
+            batch = collate(items, t_pad, l_pad)
+            if n_real < batch.batch_size:
+                batch.example_mask[n_real:] = 0.0
+            yield batch

@@ -1,0 +1,85 @@
+"""NIST SPHERE audio reader — replaces the sph2pipe C binary.
+
+The reference pipes every TIMIT utterance through sph2pipe
+(``timit/local/timit_data_prep.sh:18,52``); this is I/O, not compute, so a
+host-side reader suffices (SURVEY.md §2.2).  Handles the TIMIT encoding
+(1024-byte ASCII header, 16-bit linear PCM, optional shorten compression is
+NOT supported — TIMIT distributions are uncompressed or pre-converted).
+Also reads plain RIFF/WAVE files so prepared corpora work unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+def read_sphere(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Return (int16 samples, sample_rate)."""
+    data = Path(path).read_bytes()
+    if not data.startswith(b"NIST_1A"):
+        raise ValueError(f"{path} is not a NIST SPHERE file")
+    header_size = int(data[8:16].split()[0])
+    header = data[:header_size].decode("ascii", errors="replace")
+    fields = {}
+    for line in header.splitlines():
+        parts = line.split()
+        if len(parts) >= 3 and parts[1].startswith("-"):
+            fields[parts[0]] = parts[2]
+    rate = int(fields.get("sample_rate", 16000))
+    n_bytes = int(fields.get("sample_n_bytes", 2))
+    coding = fields.get("sample_coding", "pcm")
+    byte_format = fields.get("sample_byte_format", "01")
+    if "shorten" in coding:
+        raise NotImplementedError(
+            f"{path}: shorten-compressed SPHERE not supported; convert once "
+            "with 'sph2pipe -f wav' or use a decompressed distribution"
+        )
+    raw = data[header_size:]
+    if n_bytes == 2:
+        dtype = "<i2" if byte_format == "01" else ">i2"
+        samples = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype=dtype)
+        samples = samples.astype(np.int16)
+    elif n_bytes == 1:
+        samples = np.frombuffer(raw, dtype=np.int8).astype(np.int16) << 8
+    else:
+        raise ValueError(f"unsupported sample_n_bytes={n_bytes}")
+    n = int(fields.get("sample_count", len(samples)))
+    return samples[:n], rate
+
+
+def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
+    with wave.open(str(path), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    samples = np.frombuffer(raw, dtype="<i2")
+    if w.getnchannels() > 1:
+        samples = samples.reshape(-1, w.getnchannels()).mean(axis=1).astype(np.int16)
+    return samples, rate
+
+
+def read_audio(path: str | Path) -> np.ndarray:
+    """SPHERE or WAV -> float32 samples (Kaldi-style int16 range)."""
+    p = Path(path)
+    head = p.open("rb").read(8)
+    if head.startswith(b"NIST_1A"):
+        samples, _ = read_sphere(p)
+    else:
+        samples, _ = read_wav(p)
+    return samples.astype(np.float32)
+
+
+def write_wav(path: str | Path, samples: np.ndarray, rate: int = 16000) -> None:
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, np.int16).tobytes())

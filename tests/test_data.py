@@ -1,0 +1,144 @@
+"""Data pipeline tests: ark I/O roundtrip, dataset transforms, bucketing."""
+
+import numpy as np
+import pytest
+
+from ctc_pytorch_tpu.config import Config
+from ctc_pytorch_tpu.data import (
+    ArkWriter,
+    SpeechDataLoader,
+    SpeechDataset,
+    collate,
+    load_mat,
+    read_scp,
+    read_text_ark,
+)
+from ctc_pytorch_tpu.data.kaldi_io import iter_ark, read_cmvn_stats_text
+from ctc_pytorch_tpu.vocab import Vocab
+
+
+def _write_corpus(tmp_path, n=10, dim=13, seed=0):
+    rng = np.random.RandomState(seed)
+    mats = {}
+    with ArkWriter(tmp_path / "feats.ark", tmp_path / "feats.scp") as w:
+        for i in range(n):
+            utt = f"utt{i:02d}"
+            mat = rng.randn(rng.randint(20, 80), dim).astype(np.float32)
+            mats[utt] = mat
+            w.write(utt, mat)
+    units = ["aa", "bb", "cc", "dd"]
+    (tmp_path / "units").write_text("\n".join(units) + "\n")
+    with open(tmp_path / "phn_text", "w") as f:
+        for i in range(n):
+            labs = rng.choice(units, size=rng.randint(2, 9))
+            f.write(f"utt{i:02d} {' '.join(labs)}\n")
+    return mats
+
+
+def test_ark_roundtrip(tmp_path):
+    mats = _write_corpus(tmp_path)
+    scp = read_scp(tmp_path / "feats.scp")
+    assert len(scp) == 10
+    for utt, rx in scp:
+        np.testing.assert_array_equal(load_mat(rx), mats[utt])
+    for utt, mat in iter_ark(tmp_path / "feats.ark"):
+        np.testing.assert_array_equal(mat, mats[utt])
+
+
+def test_text_ark(tmp_path):
+    p = tmp_path / "feats.txt"
+    p.write_text(
+        "utt1  [\n  1.0 2.0 3.0 \n  4.0 5.0 6.0 ]\n"
+        "utt2  [\n  7.0 8.0 9.0 ]\n"
+    )
+    feats = read_text_ark(p)
+    np.testing.assert_allclose(feats["utt1"], [[1, 2, 3], [4, 5, 6]])
+    np.testing.assert_allclose(feats["utt2"], [[7, 8, 9]])
+
+
+def test_cmvn_stats_text(tmp_path):
+    p = tmp_path / "cmvn.txt"
+    p.write_text(" [\n  10.0 20.0 5 \n  30.0 50.0 0 ]\n")
+    s, sq, count = read_cmvn_stats_text(p)
+    np.testing.assert_allclose(s, [10.0, 20.0])
+    np.testing.assert_allclose(sq, [30.0, 50.0])
+    assert count == 5
+
+
+def _cfg():
+    cfg = Config()
+    cfg.left_ctx, cfg.right_ctx = 0, 2
+    cfg.n_skip_frame, cfg.n_downsample = 2, 2
+    return cfg
+
+
+def test_dataset_transform_contract(tmp_path):
+    mats = _write_corpus(tmp_path)
+    vocab = Vocab(tmp_path / "units")
+    ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text", _cfg())
+    feat, label, utt = ds[0]
+    raw = mats[utt]
+    # spliced to 3x dim, skipped by 2, padded to even length
+    assert feat.shape[1] == raw.shape[1] * 3
+    expect_t = -(-raw.shape[0] // 2)
+    expect_t += expect_t % 2
+    assert feat.shape[0] == expect_t
+    assert ds.lengths()[0] == expect_t
+    assert label.dtype == np.int32
+
+
+def test_collate_fractional_sizes(tmp_path):
+    _write_corpus(tmp_path)
+    vocab = Vocab(tmp_path / "units")
+    ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text", _cfg())
+    items = [ds[i] for i in range(4)]
+    batch = collate(items)
+    t_max = max(it[0].shape[0] for it in items)
+    assert batch.feats.shape[1] == t_max
+    np.testing.assert_allclose(
+        batch.input_frac, [it[0].shape[0] / t_max for it in items], rtol=1e-6
+    )
+    # reference zero-pads (create_input, data_loader.py:129)
+    longest = int(np.argmax([it[0].shape[0] for it in items]))
+    short = int(np.argmin([it[0].shape[0] for it in items]))
+    if items[short][0].shape[0] < t_max:
+        assert (batch.feats[short, items[short][0].shape[0]:] == 0).all()
+    np.testing.assert_array_equal(
+        batch.feats[longest, : items[longest][0].shape[0]], items[longest][0]
+    )
+
+
+def test_bucketed_loader_static_shapes(tmp_path):
+    _write_corpus(tmp_path, n=20)
+    vocab = Vocab(tmp_path / "units")
+    ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text", _cfg())
+    loader = SpeechDataLoader(ds, batch_size=4, num_buckets=3, seed=1)
+    shapes = set()
+    seen = []
+    n_items = 0
+    for batch in loader:
+        shapes.add(batch.feats.shape[1:])
+        assert batch.feats.shape[0] == 4  # padded to full batch
+        assert batch.feats.shape[1] % 8 == 0  # aligned buckets
+        n_items += int(batch.example_mask.sum())
+        for u, m in zip(batch.utts, batch.example_mask):
+            if m:
+                seen.append(u)
+        # every real item fits its bucket
+        assert (batch.input_lengths <= batch.feats.shape[1]).all()
+    assert n_items == 20
+    assert sorted(seen) == sorted(f"utt{i:02d}" for i in range(20))
+    assert len(shapes) <= 3  # bounded compilation
+
+
+def test_loader_epoch_shuffle_deterministic(tmp_path):
+    _write_corpus(tmp_path, n=16)
+    vocab = Vocab(tmp_path / "units")
+    ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text", _cfg())
+    loader = SpeechDataLoader(ds, batch_size=4, num_buckets=2, seed=7)
+    order0 = [tuple(b.utts) for b in loader]
+    order0b = [tuple(b.utts) for b in loader]
+    assert order0 == order0b  # same epoch -> same order
+    loader.set_epoch(1)
+    order1 = [tuple(b.utts) for b in loader]
+    assert order0 != order1  # different epoch -> reshuffled
