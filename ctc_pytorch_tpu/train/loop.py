@@ -1,0 +1,317 @@
+"""Training loop: jitted train/eval steps + the reference's epoch driver.
+
+Functional redesign of ``timit/steps/train_ctc.py`` (``main``/``run_epoch``):
+
+- one jitted ``train_step`` per bucket shape (buckets bound recompilation):
+  forward (bf16 matmuls / fp32 loss) -> CTC loss -> grads -> Adam update,
+  with state donated so updates are in-place on device;
+- the fractional length contract (``train_ctc.py:46``):
+  ``input_sizes = (frac * T_out).astype(int)``;
+- ``loss = CTCLoss(sum) / batch`` semantics via masked mean over real
+  examples (``example_mask`` excludes repeat-padding rows);
+- per-step training token-error via on-device greedy collapse + host edit
+  distance (``model_ctc.py:187-202``), optional for peak throughput;
+- the plateau scheduler with device-side snapshots and rollback, and the
+  best-dev-accuracy state kept for the final package (``train_ctc.py:160-249``);
+- data parallelism: with a mesh, batches are sharded over the ``data`` axis
+  and XLA inserts the gradient psum (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctc_pytorch_tpu.config import Config
+from ctc_pytorch_tpu.data.batching import Batch
+from ctc_pytorch_tpu.decode.greedy import greedy_collapse
+from ctc_pytorch_tpu.models import CTCModel
+from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+from ctc_pytorch_tpu.ops import ctc_loss
+from ctc_pytorch_tpu.ops.editdistance import padded_edit_distance
+from ctc_pytorch_tpu.train import checkpoint as ckpt
+from ctc_pytorch_tpu.train.metrics_log import MetricsLogger
+from ctc_pytorch_tpu.train.scheduler import PlateauScheduler
+from ctc_pytorch_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    get_lr,
+    scale_lr,
+    snapshot,
+)
+
+
+def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data"):
+    """Build jitted (train_step, eval_step) closed over spec and optimizer."""
+
+    def _forward(params, model_state, feats, frac, labels, label_lens, mask,
+                 rng, train: bool):
+        out = CTCModel.apply(
+            spec, params, model_state, feats, train=train, rng=rng
+        )
+        log_probs, new_mstate = out[0], out[1]
+        t_out = log_probs.shape[0]
+        input_sizes = (frac * t_out).astype(jnp.int32)
+        neg_ll = ctc_loss(
+            log_probs, labels, input_sizes, label_lens, reduction="none"
+        )
+        # reference: sum over batch / batch_size (train_ctc.py:47-48);
+        # masked mean excludes repeat-padded rows of ragged final batches
+        loss = jnp.sum(neg_ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss, (new_mstate, log_probs, input_sizes)
+
+    def train_step(state: TrainState, feats, frac, labels, label_lens, mask,
+                   rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (new_mstate, log_probs, input_sizes)), grads = (
+            jax.value_and_grad(_forward, has_aux=True)(
+                state.params, state.model_state, feats, frac, labels,
+                label_lens, mask, rng, True,
+            )
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, new_params, new_mstate, new_opt)
+        greedy_idx = jnp.argmax(log_probs, axis=-1).T  # (B, T_out)
+        return new_state, loss, greedy_idx, input_sizes
+
+    def eval_step(state: TrainState, feats, frac, labels, label_lens, mask):
+        loss, (_, log_probs, input_sizes) = _forward(
+            state.params, state.model_state, feats, frac, labels, label_lens,
+            mask, None, False,
+        )
+        greedy_idx = jnp.argmax(log_probs, axis=-1).T
+        return loss, greedy_idx, input_sizes, log_probs
+
+    donate = {"donate_argnums": (0,)}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(data_axis))
+        train_jit = jax.jit(
+            train_step,
+            in_shardings=(repl, data, data, data, data, data, repl),
+            **donate,
+        )
+        eval_jit = jax.jit(
+            eval_step, in_shardings=(repl, data, data, data, data, data)
+        )
+    else:
+        train_jit = jax.jit(train_step, **donate)
+        eval_jit = jax.jit(eval_step)
+    return train_jit, eval_jit
+
+
+def _batch_token_errors(greedy_idx, input_sizes, labels, label_lens, mask,
+                        blank=0):
+    """Greedy collapse on device, edit distance on host (compute_wer)."""
+    tokens, lens = greedy_collapse(greedy_idx, jnp.asarray(input_sizes), blank)
+    tokens = np.asarray(tokens)
+    lens = np.asarray(lens)
+    labels = np.asarray(labels)
+    label_lens = np.asarray(label_lens)
+    keep = np.asarray(mask) > 0
+    if tokens.shape[1] == 0:
+        dists = np.asarray(label_lens)
+    else:
+        dists = padded_edit_distance(labels, label_lens, tokens, lens)
+    errs = int(np.sum(dists[keep]))
+    toks = int(np.sum(label_lens[keep]))
+    return errs, toks
+
+
+def run_epoch(
+    epoch_id: int,
+    step_fns,
+    state: TrainState,
+    loader,
+    *,
+    training: bool,
+    rng: Optional[jax.Array] = None,
+    print_every: int = 50,
+    compute_wer: bool = True,
+    log=print,
+) -> Tuple[TrainState, float, float]:
+    """One pass; returns (state, accuracy=1-wer, average_loss) like
+    ``run_epoch`` (``train_ctc.py:26-69``)."""
+    train_jit, eval_jit = step_fns
+    total_loss = 0.0
+    cur_loss = 0.0
+    total_errs = 0
+    total_tokens = 1e-9
+    n_batches = 0
+    for i, batch in enumerate(loader):
+        feats = jnp.asarray(batch.feats)
+        frac = jnp.asarray(batch.input_frac)
+        labels = jnp.asarray(batch.labels)
+        label_lens = jnp.asarray(batch.label_lengths)
+        mask = jnp.asarray(batch.example_mask)
+        if training:
+            state, loss, greedy_idx, input_sizes = train_jit(
+                state, feats, frac, labels, label_lens, mask, rng
+            )
+        else:
+            loss, greedy_idx, input_sizes, _ = eval_jit(
+                state, feats, frac, labels, label_lens, mask
+            )
+        loss_val = float(loss)
+        total_loss += loss_val
+        cur_loss += loss_val
+        n_batches += 1
+        if compute_wer:
+            errs, toks = _batch_token_errors(
+                greedy_idx, input_sizes, batch.labels, batch.label_lengths,
+                batch.example_mask,
+            )
+            total_errs += errs
+            total_tokens += toks
+        if training and (i + 1) % print_every == 0:
+            log(
+                f"Epoch = {epoch_id}, step = {i + 1}, "
+                f"cur_loss = {cur_loss / print_every:.4f}, "
+                f"total_loss = {total_loss / (i + 1):.4f}, "
+                f"total_wer = {total_errs / total_tokens:.4f}"
+            )
+            cur_loss = 0.0
+    avg_loss = total_loss / max(n_batches, 1)
+    acc = 1.0 - total_errs / total_tokens
+    tag = "Train" if training else "Valid"
+    log(f"Epoch {epoch_id} {tag} done, total_loss: {avg_loss:.4f}, "
+        f"total_wer: {1.0 - acc:.4f}")
+    return state, acc, avg_loss
+
+
+class Trainer:
+    """Full training driver with plateau scheduling and checkpointing."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        spec: ModelSpec,
+        mesh=None,
+        out_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.spec = spec
+        self.mesh = mesh
+        key = jax.random.PRNGKey(cfg.seed)
+        self.init_key, self.dropout_key = jax.random.split(key)
+        self.state, self.tx = create_train_state(
+            self.init_key, spec, cfg.init_lr, cfg.weight_decay, cfg.grad_clip
+        )
+        if mesh is not None:
+            from ctc_pytorch_tpu.parallel import replicate
+
+            self.state = replicate(self.state, mesh)
+        self.step_fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis)
+        self.scheduler = PlateauScheduler(
+            end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay
+        )
+        self.out_dir = Path(out_dir or Path(cfg.checkpoint_dir) / cfg.exp_name)
+        self.logger = MetricsLogger(self.out_dir)
+        self.histories: Dict[str, list] = {
+            "loss_results": [], "dev_loss_results": [], "dev_cer_results": []
+        }
+        self._rollback = snapshot(self.state)
+        self._best = snapshot(self.state)
+        self.epoch = 0
+        self._decay_next = False
+
+    def fit(
+        self,
+        train_loader,
+        dev_loader,
+        num_epoches: Optional[int] = None,
+        compute_wer: bool = True,
+        log=print,
+    ) -> Path:
+        cfg = self.cfg
+        num_epoches = num_epoches or cfg.num_epoches
+        stop = False
+        while not stop and self.epoch < num_epoches:
+            self.epoch += 1
+            if self._decay_next:
+                self.state = TrainState(
+                    self.state.step, self.state.params, self.state.model_state,
+                    scale_lr(self.state.opt_state, cfg.lr_decay),
+                )
+                self._decay_next = False
+            lr = get_lr(self.state.opt_state)
+            log(f"Start training epoch: {self.epoch}, learning_rate: {lr:.5f}")
+            t0 = time.time()
+            train_loader.set_epoch(self.epoch)
+            self.state, train_acc, train_loss = run_epoch(
+                self.epoch, self.step_fns, self.state, train_loader,
+                training=True, rng=self.dropout_key,
+                print_every=cfg.verbose_step, compute_wer=compute_wer, log=log,
+            )
+            _, dev_acc, dev_loss = run_epoch(
+                self.epoch, self.step_fns, self.state, dev_loader,
+                training=False, compute_wer=compute_wer, log=log,
+            )
+            self.histories["loss_results"].append(train_loss)
+            self.histories["dev_loss_results"].append(dev_loss)
+            self.histories["dev_cer_results"].append(dev_acc)
+
+            decision = self.scheduler.update(dev_loss, dev_acc)
+            if decision.snapshot:
+                self._rollback = snapshot(self.state)
+            if decision.snapshot_best:
+                self._best = snapshot(self.state)
+            if decision.rollback:
+                # restore params+optimizer, keep scheduler counters
+                self.state = snapshot(self._rollback)
+            if decision.decay_lr:
+                self._decay_next = True
+            stop = decision.stop
+
+            self.logger.log({
+                "epoch": self.epoch, "lr": lr,
+                "train_loss": train_loss, "train_acc": train_acc,
+                "dev_loss": dev_loss, "dev_acc": dev_acc,
+                "epoch_minutes": (time.time() - t0) / 60.0,
+                "adjust_time": self.scheduler.adjust_time,
+            })
+            if cfg.save_every and self.epoch % cfg.save_every == 0:
+                self.save_resume_checkpoint()
+        return self.save_best()
+
+    # -- persistence ----------------------------------------------------
+    def save_best(self) -> Path:
+        path = self.out_dir / "ctc_best_model.npz"
+        ckpt.save_package(
+            path, self.spec, self._best, config=self.cfg,
+            scheduler_state=self.scheduler.state_dict(), epoch=self.epoch,
+            **self.histories,
+        )
+        return path
+
+    def save_resume_checkpoint(self) -> Path:
+        path = self.out_dir / f"resume_ep{self.epoch:04d}.npz"
+        ckpt.save_package(
+            path, self.spec, self.state, config=self.cfg,
+            scheduler_state=self.scheduler.state_dict(), epoch=self.epoch,
+            **self.histories,
+        )
+        return path
+
+    def resume(self, path) -> None:
+        self.state, manifest = ckpt.restore_train_state(path, self.state)
+        if manifest.get("scheduler"):
+            self.scheduler = PlateauScheduler.from_state_dict(
+                manifest["scheduler"]
+            )
+        self.epoch = manifest.get("epoch") or 0
+        for k in self.histories:
+            self.histories[k] = manifest.get(k, [])
+        self._rollback = snapshot(self.state)
+        self._best = snapshot(self.state)
