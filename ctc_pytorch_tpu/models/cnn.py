@@ -98,14 +98,15 @@ def cnn_stack_apply(
     for i, (p, s, r) in enumerate(zip(params, states, rngs)):
         stride = cnn.stride[i]
         pad = cnn.padding[i]
+        # no preferred_element_type here: its VJP mixes bf16/fp32 operand
+        # dtypes and fails; the TPU MXU accumulates bf16 convs in fp32 anyway
         out = jax.lax.conv_general_dilated(
             x.astype(compute_dtype),
             p["w"].astype(compute_dtype),
             window_strides=stride,
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         out = out + p["b"].reshape(1, -1, 1, 1)
         ns = dict(s)
         if "bn" in p:

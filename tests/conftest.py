@@ -6,15 +6,18 @@ Multi-chip sharding logic is validated on a host-platform device mesh
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this image preloads jax._src at interpreter startup, so JAX_PLATFORMS
+# set here is already captured; the config.update below is what actually
+# forces the CPU platform.  XLA_FLAGS is still read lazily at backend init.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402  (env vars must be set first)
+import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # this build's default matmul precision is reduced even for fp32-on-CPU;
 # golden tests against torch need true fp32 matmuls.  The production bf16
 # path is an explicit opt-in via Config.dtype and unaffected by this.
