@@ -1,0 +1,167 @@
+"""Benchmark: TIMIT CNN+BiLSTM+CTC training throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "utts/sec", "vs_baseline": N}
+
+- Our side: the flagship reference recipe (81-dim fbank spliced to 243,
+  2-layer CNN, 4x BiLSTM(384), 41 classes, CTC loss, Adam+wd) as a full
+  jitted train step (fwd+bwd+update) on realistic TIMIT shapes
+  (T=160 post-skip frames ~= 3.2 s utterances), bf16 matmuls.
+- Baseline: the same architecture in torch on CPU at the reference recipe's
+  batch size 8 (the reference is a single-device recipe; BASELINE.md's
+  north star is >=20x reference-CPU utterances/sec on one chip).  Measured
+  once and cached in .bench_baseline.json (delete to re-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+B = 64  # our batch per step
+T = 160  # frames after skip (typical TIMIT 3.2s utterance)
+F = 243
+L = 48  # max label length
+NUM_CLASS = 41
+BASELINE_FILE = Path(__file__).parent / ".bench_baseline.json"
+TORCH_BATCH = 8  # the reference recipe's batch size (ctc_config.yaml:49)
+
+
+def bench_ours(steps: int = 30, warmup: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.train.loop import make_step_fns
+    from ctc_pytorch_tpu.train.state import create_train_state
+    from __graft_entry__ import _flagship_spec
+
+    cfg, spec = _flagship_spec()
+    state, tx = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay
+    )
+    train_jit, _ = make_step_fns(spec, tx)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    frac = jnp.asarray(np.full(B, 0.95, np.float32))
+    labels = jnp.asarray(rng.randint(1, NUM_CLASS, size=(B, L)).astype(np.int32))
+    label_lens = jnp.asarray(np.full(B, L, np.int32))
+    mask = jnp.ones((B,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    # NOTE: block_until_ready is unreliable through this device tunnel; a
+    # host fetch of the final loss is a hard sync, and the loss of step N
+    # data-depends on every prior step through the state chain.
+    for _ in range(warmup):
+        state, loss, _, _ = train_jit(state, feats, frac, labels, label_lens,
+                                      mask, key)
+    float(loss)
+    rates = []
+    for _ in range(3):  # repeats guard against tunnel/queue jitter
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss, _, _ = train_jit(state, feats, frac, labels,
+                                          label_lens, mask, key)
+        float(loss)
+        dt = time.perf_counter() - t0
+        rates.append(steps * B / dt)
+    return sorted(rates)[len(rates) // 2]
+
+
+def bench_torch_cpu(steps: int = 4, warmup: int = 1) -> float:
+    """Equivalent torch model+step on CPU (the reference's stack)."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Sequential(
+                nn.Conv2d(1, 32, 3, stride=(1, 2), padding=1),
+                nn.BatchNorm2d(32), nn.ReLU(inplace=True), nn.Dropout(0.2),
+                nn.Conv2d(32, 32, 3, stride=(2, 2), padding=1),
+                nn.BatchNorm2d(32), nn.ReLU(inplace=True), nn.Dropout(0.2),
+            )
+            feat = 61 * 32
+            self.rnns = nn.ModuleList()
+            self.bns = nn.ModuleList()
+            for i in range(4):
+                in_dim = feat if i == 0 else 768
+                self.bns.append(nn.BatchNorm1d(in_dim) if i else nn.Identity())
+                self.rnns.append(
+                    nn.LSTM(in_dim, 384, bidirectional=True, bias=False)
+                )
+            self.fc = nn.Sequential(
+                nn.BatchNorm1d(768), nn.Linear(768, NUM_CLASS, bias=False)
+            )
+
+        def forward(self, x):
+            x = self.conv(x.unsqueeze(1))
+            x = x.transpose(1, 2).contiguous()
+            b, t, c, f = x.shape
+            x = x.view(b, t, c * f).transpose(0, 1).contiguous()
+            for bn, rnn in zip(self.bns, self.rnns):
+                if not isinstance(bn, nn.Identity):
+                    x = bn(x.transpose(-1, -2)).transpose(-1, -2)
+                x, _ = rnn(x)
+            t, b, h = x.shape
+            x = self.fc(x.view(t * b, h)).view(t, b, -1)
+            return torch.log_softmax(x, dim=-1)
+
+    model = Model()
+    loss_fn = nn.CTCLoss(reduction="sum")
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=5e-4)
+    rng = np.random.RandomState(0)
+    x = torch.from_numpy(rng.randn(TORCH_BATCH, T, F).astype(np.float32))
+    labels = torch.from_numpy(
+        rng.randint(1, NUM_CLASS, size=(TORCH_BATCH, L)).astype(np.int64)
+    )
+    out_t = T // 2
+    in_sizes = torch.full((TORCH_BATCH,), int(0.95 * out_t), dtype=torch.long)
+    lab_sizes = torch.full((TORCH_BATCH,), L, dtype=torch.long)
+
+    def step():
+        out = model(x)
+        loss = loss_fn(out, labels, in_sizes, lab_sizes) / TORCH_BATCH
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return steps * TORCH_BATCH / dt
+
+
+def get_baseline() -> float:
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())["torch_cpu_utts_per_sec"]
+    val = bench_torch_cpu()
+    BASELINE_FILE.write_text(json.dumps({
+        "torch_cpu_utts_per_sec": val,
+        "batch": TORCH_BATCH, "t": T, "f": F,
+    }))
+    return val
+
+
+def main() -> None:
+    ours = bench_ours()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "timit_cnn_bilstm_ctc_train_throughput",
+        "value": round(ours, 2),
+        "unit": "utts/sec",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
