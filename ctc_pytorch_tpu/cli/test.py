@@ -1,0 +1,109 @@
+"""Stage 4: decoding + scoring (``steps/test_ctc.py`` replacement).
+
+Loads a package checkpoint, rebuilds the model purely from it
+(``test_ctc.py:38-58`` contract), decodes the test set with the Greedy or
+Beam decoder, prints per-utterance origin/decoded pairs, and reports CER/WER
+percentages and decode wall time (``test_ctc.py:69-112``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ctc_pytorch_tpu.config import Config, load_config
+from ctc_pytorch_tpu.data import SpeechDataLoader, SpeechDataset
+from ctc_pytorch_tpu.decode import BeamDecoder, GreedyDecoder
+from ctc_pytorch_tpu.models import CTCModel
+from ctc_pytorch_tpu.train.checkpoint import model_from_package
+from ctc_pytorch_tpu.vocab import Vocab
+
+
+def evaluate(
+    cfg: Config,
+    package_path: str,
+    *,
+    verbose: bool = True,
+    max_batches: Optional[int] = None,
+    log=print,
+) -> dict:
+    vocab = Vocab(cfg.vocab_file)
+    spec, params, mstate, manifest = model_from_package(package_path)
+    test_ds = SpeechDataset(vocab, cfg.test_scp_path, cfg.test_lab_path, cfg)
+    loader = SpeechDataLoader(
+        test_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
+    )
+
+    if cfg.decode_type == "Greedy":
+        decoder = GreedyDecoder(vocab.index2word)
+    else:
+        decoder = BeamDecoder(
+            vocab.index2word, beam_width=cfg.beam_width,
+            lm_path=cfg.lm_path, lm_alpha=cfg.lm_alpha,
+        )
+
+    import jax
+
+    @jax.jit
+    def forward(feats):
+        log_probs, _ = CTCModel.apply(spec, params, mstate, feats)
+        return log_probs
+
+    total_cer = total_wer = 0
+    start = time.time()
+    n = 0
+    for batch in loader:
+        log_probs = forward(jnp.asarray(batch.feats))
+        t_out = log_probs.shape[0]
+        input_sizes = (batch.input_frac * t_out).astype(np.int32)
+        decoded = decoder.decode(np.asarray(log_probs), input_sizes)
+        targets = [
+            decoder.scorer.to_string(
+                batch.labels[i], int(batch.label_lengths[i])
+            )
+            for i in range(batch.batch_size)
+        ]
+        for i in range(batch.batch_size):
+            if not batch.example_mask[i]:
+                continue
+            if verbose:
+                log(f"{batch.utts[i]}")
+                log(f"origin : {targets[i]}")
+                log(f"decoded: {decoded[i]}")
+            total_cer += decoder.scorer.cer(decoded[i], targets[i])
+            total_wer += decoder.scorer.wer(decoded[i], targets[i])
+            decoder.scorer.num_word += len(targets[i].split())
+            decoder.scorer.num_char += len(targets[i])
+        n += 1
+        if max_batches and n >= max_batches:
+            break
+    minutes = (time.time() - start) / 60.0
+    cer = 100.0 * total_cer / max(decoder.scorer.num_char, 1)
+    wer = 100.0 * total_wer / max(decoder.scorer.num_word, 1)
+    log(f"character error rate on test set: {cer:.4f}")
+    log(f"word error rate on test set: {wer:.4f}")
+    log(f"time used for decode {decoder.scorer.num_word} sentences: "
+        f"{minutes:.4f} minutes")
+    return {"cer": cer, "wer": wer, "decode_minutes": minutes}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ctc decode + score (tpu)")
+    p.add_argument("--conf", default="conf/ctc_config.yaml")
+    p.add_argument("--package", default=None,
+                   help="checkpoint package; defaults to "
+                        "<checkpoint_dir>/<exp_name>/ctc_best_model.npz")
+    args = p.parse_args(argv)
+    cfg = load_config(args.conf)
+    package = args.package or (
+        f"{cfg.checkpoint_dir}/{cfg.exp_name}/ctc_best_model.npz"
+    )
+    return evaluate(cfg, package)
+
+
+if __name__ == "__main__":
+    main()
