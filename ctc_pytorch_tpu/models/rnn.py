@@ -76,6 +76,85 @@ def _gru_step(w_hh, h, gx, compute_dtype):
     return (1.0 - z) * n + z * h
 
 
+def _scan_bidir_fused(
+    params: Dict,
+    x: jnp.ndarray,
+    cell: str,
+    hidden_size: int,
+    compute_dtype,
+    lengths: Optional[jnp.ndarray] = None,
+    unroll: int = 4,
+) -> jnp.ndarray:
+    """Both directions in ONE scan via a direction-batched dot_general.
+
+    The sequential recurrence is the TPU bottleneck (small matmuls, T steps);
+    running forward and backward together doubles the per-step matmul to
+    ``(2, B, H) @ (2, H, nH)`` — one MXU call with a batch dim — and halves
+    the number of scans per layer.  The backward direction consumes the
+    time-flipped input and its output is flipped back, which preserves the
+    reference's full-padded-length semantics (or per-utterance lengths when
+    given).  ``unroll`` amortises scan overhead across steps.
+    """
+    t, b, _ = x.shape
+    h = hidden_size
+    n = GATES[cell]
+    xr = (_flip_within_lengths(x, lengths) if lengths is not None
+          else jnp.flip(x, axis=0))
+    # input projections: two large parallel matmuls (MXU-friendly)
+    w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])  # (2,F,nH)
+    x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x2, w_ih.astype(compute_dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(2, t, b, n * h).transpose(1, 0, 2, 3)  # (T, 2, B, nH)
+    w_hh = params["w_hh_stacked"] if "w_hh_stacked" in params else jnp.stack(
+        [params["fwd"]["w_hh"], params["bwd"]["w_hh"]]
+    )  # (2, H, nH)
+    w_hh_c = w_hh.astype(compute_dtype)
+
+    def hh_matmul(hid):  # (2, B, H) -> (2, B, nH)
+        return jax.lax.dot_general(
+            hid.astype(compute_dtype), w_hh_c,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    h0 = jnp.zeros((2, b, h), jnp.float32)
+    if cell == "lstm":
+        def step(carry, gx_t):
+            hid, c = carry
+            gates = gx_t + hh_matmul(hid)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            hid = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (hid, c), hid
+
+        (_, _), ys = jax.lax.scan(step, (h0, h0), gx, unroll=unroll)
+    elif cell == "gru":
+        def step(hid, gx_t):
+            hh = hh_matmul(hid)
+            r = jax.nn.sigmoid(gx_t[..., :h] + hh[..., :h])
+            z = jax.nn.sigmoid(gx_t[..., h:2*h] + hh[..., h:2*h])
+            nn_ = jnp.tanh(gx_t[..., 2*h:] + r * hh[..., 2*h:])
+            hid = (1.0 - z) * nn_ + z * hid
+            return hid, hid
+
+        _, ys = jax.lax.scan(step, h0, gx, unroll=unroll)
+    else:
+        def step(hid, gx_t):
+            hid = jnp.tanh(gx_t + hh_matmul(hid))
+            return hid, hid
+
+        _, ys = jax.lax.scan(step, h0, gx, unroll=unroll)
+    # ys: (T, 2, B, H) -> forward out + flipped backward out
+    fwd = ys[:, 0]
+    bwd = ys[:, 1]
+    bwd = (_flip_within_lengths(bwd, lengths) if lengths is not None
+           else jnp.flip(bwd, axis=0))
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 def _scan_direction(
     params: Dict,
     x: jnp.ndarray,
@@ -155,19 +234,14 @@ def rnn_layer_apply(
     new_state = dict(state)
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
-    out = _scan_direction(params["fwd"], x, cell, hidden_size, False, compute_dtype)
     if "bwd" in params:
-        if lengths is None:
-            back = _scan_direction(
-                params["bwd"], x, cell, hidden_size, True, compute_dtype
-            )
-        else:
-            xr = _flip_within_lengths(x, lengths)
-            back = _scan_direction(
-                params["bwd"], xr, cell, hidden_size, False, compute_dtype
-            )
-            back = _flip_within_lengths(back, lengths)
-        out = jnp.concatenate([out, back], axis=-1)
+        out = _scan_bidir_fused(
+            params, x, cell, hidden_size, compute_dtype, lengths=lengths
+        )
+    else:
+        out = _scan_direction(
+            params["fwd"], x, cell, hidden_size, False, compute_dtype
+        )
     out = dropout(out, drop_rate, rng, train)
     return out, new_state
 
