@@ -28,6 +28,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_config(args.conf)
+    log = print
+    if cfg.log_dir:
+        from ctc_pytorch_tpu.utils import init_file_logger
+
+        log = init_file_logger(cfg.log_dir, cfg.exp_name).info
     vocab = Vocab(cfg.vocab_file)
     train_ds = SpeechDataset(vocab, cfg.train_scp_path, cfg.train_lab_path, cfg)
     dev_ds = SpeechDataset(vocab, cfg.valid_scp_path, cfg.valid_lab_path, cfg)
@@ -40,7 +45,10 @@ def main(argv=None):
         seed=cfg.seed,
     )
 
-    spec = ModelSpec.from_config(cfg, num_class=vocab.n_words)
+    # 863 configs declare num_class explicitly (blank added on top, matching
+    # the reference's Linear(..., num_class+1)); otherwise the vocab decides
+    n_class = cfg.num_class + 1 if cfg.num_class > 0 else vocab.n_words
+    spec = ModelSpec.from_config(cfg, num_class=n_class)
     mesh = None
     if args.data_parallel:
         import jax
@@ -52,8 +60,13 @@ def main(argv=None):
     trainer = Trainer(cfg, spec, mesh=mesh)
     if args.resume:
         trainer.resume(args.resume)
-    best = trainer.fit(train_loader, dev_loader)
-    print(f"End training, best model saved to {best}")
+    best = trainer.fit(train_loader, dev_loader, log=log)
+    # write the best-checkpoint path back into a config snapshot, like the
+    # 863 recipe rewrites its conf (cnn_lstm_ctc.py:257-258) — into the
+    # experiment dir, not the user's file
+    cfg.model_file = str(best)
+    cfg.to_yaml(trainer.out_dir / "config_used.yaml")
+    log(f"End training, best model saved to {best}")
     return best
 
 

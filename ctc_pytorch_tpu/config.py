@@ -156,6 +156,16 @@ class Config:
     lm_alpha: float = 0.1
     lm_path: str = "data/lm_phone_bg.arpa"
 
+    # 863-recipe keys (my_863_corpus/conf/*.conf sections [Data][Model][Training])
+    dataset: str = "TIMIT"
+    data_dir: str = "data"
+    out_type: str = "phone"
+    num_class: int = 0  # 863 configs carry the class count explicitly
+    model_file: str = ""  # best-checkpoint path written back after training
+    least_train_epoch: int = 0  # no LR adjustment before this epoch
+    scheduler_mode: str = "loss"  # 'loss' (timit) | 'acc' (863)
+    log_dir: str = ""  # rotating file logs when set (863 recipe)
+
     # ------------------------------------------------------------------
     @property
     def rnn_cell(self) -> str:
@@ -183,6 +193,9 @@ class Config:
     @classmethod
     def from_dict(cls, raw: dict) -> "Config":
         raw = dict(raw)
+        # 863 INI key aliases (my_863_corpus/steps/cnn_lstm_ctc.py:102-152)
+        aliases = {"n_feats": "feature_dim"}
+        raw = {aliases.get(k.strip(), k): v for k, v in raw.items()}
         field_names = {f.name for f in dataclasses.fields(cls)}
         cnn_names = {f.name for f in dataclasses.fields(CNNConfig)}
         cnn_kwargs: dict = {}

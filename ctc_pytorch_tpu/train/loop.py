@@ -214,7 +214,8 @@ class Trainer:
             self.state = replicate(self.state, mesh)
         self.step_fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis)
         self.scheduler = PlateauScheduler(
-            end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay
+            end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay,
+            mode=cfg.scheduler_mode,
         )
         self.out_dir = Path(out_dir or Path(cfg.checkpoint_dir) / cfg.exp_name)
         self.logger = MetricsLogger(self.out_dir)
@@ -262,7 +263,10 @@ class Trainer:
             self.histories["dev_loss_results"].append(dev_loss)
             self.histories["dev_cer_results"].append(dev_acc)
 
-            decision = self.scheduler.update(dev_loss, dev_acc)
+            decision = self.scheduler.update(
+                dev_loss, dev_acc,
+                allow_adjust=self.epoch > cfg.least_train_epoch,
+            )
             if decision.snapshot:
                 self._rollback = snapshot(self.state)
             if decision.snapshot_best:

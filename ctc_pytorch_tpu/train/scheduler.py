@@ -45,7 +45,10 @@ class PlateauScheduler:
     adjust_time: int = 0
     acc_best: float = 0.0
 
-    def update(self, dev_loss: float, dev_acc: float) -> PlateauDecision:
+    def update(self, dev_loss: float, dev_acc: float,
+               allow_adjust: bool = True) -> PlateauDecision:
+        """``allow_adjust=False`` implements the 863 recipe's
+        ``least_train_epoch`` warmup: track bests/snapshots but never decay."""
         d = PlateauDecision()
         metric = dev_loss if self.mode == "loss" else -dev_acc
         if metric < (self.loss_best - self.end_adjust_acc):
@@ -66,12 +69,13 @@ class PlateauScheduler:
             d.snapshot_best = True
 
         if self.adjust_rate_count == 10:
-            d.decay_lr = True
-            d.rollback = True
-            self.adjust_time += 1
+            if allow_adjust:
+                d.decay_lr = True
+                d.rollback = True
+                self.adjust_time += 1
+                if self.loss_best > self.loss_best_true:
+                    self.loss_best = self.loss_best_true
             self.adjust_rate_count = 0
-            if self.loss_best > self.loss_best_true:
-                self.loss_best = self.loss_best_true
 
         if self.adjust_time == self.max_decays:
             d.stop = True

@@ -1,0 +1,109 @@
+"""863-recipe capability tests: INI configs, text-ark conversion, cached
+dataset, acc-mode scheduler, hardtanh CNN variant, target flattening."""
+
+import numpy as np
+
+import jax
+
+from ctc_pytorch_tpu.config import load_config
+from ctc_pytorch_tpu.data.convert import CachedDataset, cache_dataset, text_ark_to_binary
+from ctc_pytorch_tpu.data.kaldi_io import load_mat, read_scp
+from ctc_pytorch_tpu.models import CTCModel
+from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+from ctc_pytorch_tpu.train.scheduler import PlateauScheduler
+from ctc_pytorch_tpu.utils import flatten_targets, unflatten_targets
+
+
+def test_863_conf_files_load():
+    cfg = load_config("recipes/my_863/lstm_ctc.conf")
+    assert cfg.feature_dim == 40  # n_feats alias
+    assert cfg.num_class == 66
+    assert cfg.scheduler_mode == "acc"
+    assert cfg.least_train_epoch == 5
+    assert cfg.grad_clip == 400
+    cfg2 = load_config("recipes/my_863/cnn_lstm_ctc.conf")
+    assert cfg2.cnn.add_cnn is True
+    assert cfg2.cnn.kernel_size == [(11, 5)]
+    assert cfg2.cnn.activation_function == "hardtanh"
+    # reference arithmetic: floor((201-5)/2)+1 = 99 freq bins, x16 channels
+    assert cfg2.cnn.output_freq_len(201) == 99
+    spec = ModelSpec.from_config(cfg2, num_class=67)
+    assert spec.rnn_in_after_cnn == 99 * 16
+
+
+def test_timit_recipe_loads():
+    cfg = load_config("recipes/timit/ctc_config.yaml")
+    assert cfg.spliced_dim == 243
+    cfg39 = load_config("recipes/timit/mfcc_39_config.yaml")
+    assert cfg39.feature_dim == 39
+    assert cfg39.cnn.add_cnn is False
+
+
+def test_cnn_lstm_ctc_863_forward():
+    """The 863 fixed-CNN architecture end to end (hardtanh, no padding)."""
+    cfg = load_config("recipes/my_863/cnn_lstm_ctc.conf")
+    cfg.dtype = "float32"
+    cfg.rnn_hidden_size = 16
+    cfg.rnn_layers = 2
+    spec = ModelSpec.from_config(cfg, num_class=67)
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+    x = np.random.RandomState(0).randn(2, 24, 201).astype(np.float32)
+    lp, _ = CTCModel.apply(spec, params, state, x)
+    # time: floor((24-11)/2)+1 = 7
+    assert lp.shape == (7, 2, 67)
+    assert spec.output_time_len(24) == 7
+
+
+def test_text_ark_conversion(tmp_path):
+    p = tmp_path / "feats.txt"
+    p.write_text(
+        "utt1  [\n  1.0 2.0 \n  3.0 4.0 ]\nutt2  [\n  5.0 6.0 ]\n"
+    )
+    n = text_ark_to_binary(p, tmp_path / "f.ark", tmp_path / "f.scp")
+    assert n == 2
+    scp = dict(read_scp(tmp_path / "f.scp"))
+    np.testing.assert_allclose(load_mat(scp["utt1"]), [[1, 2], [3, 4]])
+
+
+def test_cached_dataset_roundtrip(tmp_path):
+    class Tiny:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return (np.full((i + 2, 4), i, np.float32),
+                    np.arange(i + 1, dtype=np.int32), f"u{i}")
+
+    cache = cache_dataset(Tiny(), tmp_path / "cache.npz")
+    ds = CachedDataset(cache)
+    assert len(ds) == 3
+    feat, label, utt = ds[1]
+    assert feat.shape == (3, 4) and (feat == 1).all()
+    assert list(label) == [0, 1]
+    assert utt == "u1"
+    np.testing.assert_array_equal(ds.lengths(), [2, 3, 4])
+    np.testing.assert_array_equal(ds.label_lengths(), [1, 2, 3])
+
+
+def test_acc_mode_scheduler_and_warmup():
+    s = PlateauScheduler(end_adjust_acc=0.5, mode="acc")
+    # improving accuracy -> snapshot, no decay
+    d = s.update(dev_loss=0.0, dev_acc=80.0)
+    assert d.snapshot and not d.decay_lr
+    # collapse in accuracy but within warmup: counters reset, no decay
+    d = s.update(dev_loss=0.0, dev_acc=10.0, allow_adjust=False)
+    assert not d.decay_lr and not d.rollback
+    assert s.adjust_time == 0
+    # same collapse with adjustment allowed -> decay + rollback
+    d = s.update(dev_loss=0.0, dev_acc=10.0, allow_adjust=True)
+    assert d.decay_lr and d.rollback
+    assert s.adjust_time == 1
+
+
+def test_flatten_unflatten_targets():
+    labels = np.array([[1, 2, 0], [3, 0, 0], [4, 5, 6]], np.int32)
+    lens = np.array([2, 1, 3])
+    flat, fl = flatten_targets(labels, lens)
+    np.testing.assert_array_equal(flat, [1, 2, 3, 4, 5, 6])
+    back = unflatten_targets(flat, lens)
+    np.testing.assert_array_equal(back, labels)
