@@ -47,11 +47,19 @@ from ctc_pytorch_tpu.train.state import (
 )
 
 
-def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data"):
-    """Build jitted (train_step, eval_step) closed over spec and optimizer."""
+def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
+                  frontend_fn=None):
+    """Build jitted (train_step, eval_step) closed over spec and optimizer.
+
+    With ``frontend_fn`` (waveform-in end-to-end), ``feats`` carries padded
+    raw waveforms and ``frac`` carries the valid *sample* counts; the frontend
+    runs inside the same jitted graph and rewrites both.
+    """
 
     def _forward(params, model_state, feats, frac, labels, label_lens, mask,
                  rng, train: bool):
+        if frontend_fn is not None:
+            feats, frac, _ = frontend_fn(feats, frac)
         out = CTCModel.apply(
             spec, params, model_state, feats, train=train, rng=rng
         )
@@ -139,6 +147,7 @@ def run_epoch(
     rng: Optional[jax.Array] = None,
     print_every: int = 50,
     compute_wer: bool = True,
+    waveform: bool = False,
     log=print,
 ) -> Tuple[TrainState, float, float]:
     """One pass; returns (state, accuracy=1-wer, average_loss) like
@@ -151,7 +160,11 @@ def run_epoch(
     n_batches = 0
     for i, batch in enumerate(loader):
         feats = jnp.asarray(batch.feats)
-        frac = jnp.asarray(batch.input_frac)
+        # waveform-in: the frac slot carries valid sample counts instead
+        frac = jnp.asarray(
+            batch.input_lengths.astype(np.float32) if waveform
+            else batch.input_frac
+        )
         labels = jnp.asarray(batch.labels)
         label_lens = jnp.asarray(batch.label_lengths)
         mask = jnp.asarray(batch.example_mask)
@@ -199,10 +212,12 @@ class Trainer:
         spec: ModelSpec,
         mesh=None,
         out_dir: Optional[str] = None,
+        frontend_fn=None,
     ):
         self.cfg = cfg
         self.spec = spec
         self.mesh = mesh
+        self.frontend_fn = frontend_fn
         key = jax.random.PRNGKey(cfg.seed)
         self.init_key, self.dropout_key = jax.random.split(key)
         self.state, self.tx = create_train_state(
@@ -212,7 +227,8 @@ class Trainer:
             from ctc_pytorch_tpu.parallel import replicate
 
             self.state = replicate(self.state, mesh)
-        self.step_fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis)
+        self.step_fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis,
+                                      frontend_fn=frontend_fn)
         self.scheduler = PlateauScheduler(
             end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay,
             mode=cfg.scheduler_mode,
@@ -250,14 +266,16 @@ class Trainer:
             log(f"Start training epoch: {self.epoch}, learning_rate: {lr:.5f}")
             t0 = time.time()
             train_loader.set_epoch(self.epoch)
+            wf = self.frontend_fn is not None
             self.state, train_acc, train_loss = run_epoch(
                 self.epoch, self.step_fns, self.state, train_loader,
                 training=True, rng=self.dropout_key,
-                print_every=cfg.verbose_step, compute_wer=compute_wer, log=log,
+                print_every=cfg.verbose_step, compute_wer=compute_wer,
+                waveform=wf, log=log,
             )
             _, dev_acc, dev_loss = run_epoch(
                 self.epoch, self.step_fns, self.state, dev_loader,
-                training=False, compute_wer=compute_wer, log=log,
+                training=False, compute_wer=compute_wer, waveform=wf, log=log,
             )
             self.histories["loss_results"].append(train_loss)
             self.histories["dev_loss_results"].append(dev_loss)
