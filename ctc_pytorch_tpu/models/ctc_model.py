@@ -49,6 +49,7 @@ class ModelSpec:
     num_class: int
     drop_out: float
     compute_dtype: str = "bfloat16"
+    use_pallas_rnn: bool = False  # fused Pallas LSTM scan on the eval path
 
     @classmethod
     def from_config(cls, cfg: Config, num_class: int) -> "ModelSpec":
@@ -165,6 +166,7 @@ class CTCModel:
             cell=spec.rnn_cell, hidden_size=spec.rnn_hidden_size,
             drop_rate=spec.drop_out, train=train, rng=r_rnn, lengths=lengths,
             compute_dtype=compute_dtype,
+            pallas=spec.use_pallas_rnn and not train,
         )
 
         t, b, h = out.shape

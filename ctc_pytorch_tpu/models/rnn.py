@@ -229,12 +229,24 @@ def rnn_layer_apply(
     rng: Optional[jax.Array] = None,
     lengths: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
+    pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Dict]:
     """(T, B, F) -> (T, B, H * num_directions), plus new BN state."""
     new_state = dict(state)
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
-    if "bwd" in params:
+    if ("bwd" in params and pallas and cell == "lstm" and lengths is None
+            and not train):
+        # fused Pallas scan on the inference path (ops/lstm_pallas.py)
+        from ctc_pytorch_tpu.ops.lstm_pallas import lstm_bidir_pallas
+
+        out = lstm_bidir_pallas(
+            x,
+            jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]]),
+            jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]]),
+            compute_dtype=compute_dtype,
+        )
+    elif "bwd" in params:
         out = _scan_bidir_fused(
             params, x, cell, hidden_size, compute_dtype, lengths=lengths
         )
@@ -283,6 +295,7 @@ def rnn_stack_apply(
     rng: Optional[jax.Array] = None,
     lengths: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
+    pallas: bool = False,
 ) -> Tuple[jnp.ndarray, list]:
     new_states = []
     rngs = (
@@ -294,6 +307,7 @@ def rnn_stack_apply(
             p, s, x,
             cell=cell, hidden_size=hidden_size, drop_rate=drop_rate,
             train=train, rng=r, lengths=lengths, compute_dtype=compute_dtype,
+            pallas=pallas,
         )
         new_states.append(ns)
     return x, new_states

@@ -30,6 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _auto_interpret(interpret):
+    """None -> interpreter mode automatically when not running on TPU."""
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
 from ctc_pytorch_tpu.ops.ctc_loss import NEG_INF, _extend_labels
 
 
@@ -112,8 +119,9 @@ def ctc_alpha_pallas(
     skip_add: jnp.ndarray,
     pos_mask: jnp.ndarray,
     input_lengths: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
+    interpret = _auto_interpret(interpret)
     t_max, b, s = emit.shape
     lengths = input_lengths.astype(jnp.int32).reshape(b, 1)
     return pl.pallas_call(
@@ -132,8 +140,9 @@ def ctc_beta_pallas(
     pos_mask: jnp.ndarray,
     input_lengths: jnp.ndarray,
     s_len: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
+    interpret = _auto_interpret(interpret)
     t_max, b, s = emit.shape
     lengths = input_lengths.astype(jnp.int32).reshape(b, 1)
     slen = s_len.astype(jnp.int32).reshape(b, 1)
@@ -231,7 +240,7 @@ def ctc_loss_pallas(
     label_lengths: jnp.ndarray,
     blank: int = 0,
     reduction: str = "sum_over_batch",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for ``ops.ctc_loss`` backed by the Pallas DP kernels."""
     neg_ll = _neg_ll_pallas(

@@ -1,0 +1,187 @@
+"""Fused Pallas LSTM scan kernel (bidirectional, bias-free).
+
+The recurrence is the TPU bottleneck of this model family (SURVEY.md §7
+"hard parts"): T sequential steps of small matmuls.  XLA's ``lax.scan``
+executes each step as a while-loop iteration with HBM round-trips between
+the matmul and the gate nonlinearities; this kernel instead runs the WHOLE
+time loop inside one Pallas program:
+
+- ``gx`` (the hoisted input projection, (T, 2B, 4H) with both directions
+  stacked on the batch axis) streams HBM -> VMEM in double-buffered chunks;
+- the recurrent weights (2, H, 4H) and the (h, c) state live in VMEM for
+  the entire scan; each step is one MXU matmul per direction plus fused
+  VPU gate math — nothing leaves the chip until the outputs stream back;
+- outputs (T, 2B, H) stream VMEM -> HBM from the same chunk buffers.
+
+Forward-only (inference/eval path); training keeps the autodiffable scan.
+``lstm_bidir_pallas`` matches ``models.rnn._scan_bidir_fused`` numerically
+(see tests/test_lstm_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _auto_interpret(interpret):
+    """None -> interpreter mode automatically when not running on TPU."""
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
+
+def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
+    n_chunks = t_max // chunk
+
+    def kernel(gx_hbm, whh_ref, out_hbm, gx_buf, out_buf, h_scr, c_scr,
+               in_sems, out_sems):
+        def in_dma(slot, idx):
+            return pltpu.make_async_copy(
+                gx_hbm.at[pl.ds(idx * chunk, chunk)],
+                gx_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, idx):
+            return pltpu.make_async_copy(
+                out_buf.at[slot],
+                out_hbm.at[pl.ds(idx * chunk, chunk)],
+                out_sems.at[slot],
+            )
+
+        h_scr[:] = jnp.zeros((b2, h), jnp.float32)
+        c_scr[:] = jnp.zeros((b2, h), jnp.float32)
+        in_dma(0, 0).start()
+        whh = whh_ref[:]  # (2H, 4H) block-diagonal layout, see wrapper
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+            nxt = (ci + 1) % 2
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                in_dma(nxt, ci + 1).start()
+
+            in_dma(slot, ci).wait()
+
+            # wait for this slot's previous output write before reuse
+            @pl.when(ci >= 2)
+            def _():
+                out_dma(slot, ci - 2).wait()
+
+            def step(k, carry):
+                hs, cs = carry
+                # block-diagonal recurrent weights make both directions one
+                # MXU matmul: [h_f | h_b] @ [[Wf 0],[0 Wb]]
+                hh = jnp.dot(
+                    jnp.concatenate(
+                        [hs[: b2 // 2], hs[b2 // 2:]], axis=1
+                    ),
+                    whh, preferred_element_type=jnp.float32,
+                )
+                gates = gx_buf[slot, k] + jnp.concatenate(
+                    [hh[:, : 4 * h], hh[:, 4 * h:]], axis=0
+                )
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                cs = jax.nn.sigmoid(f) * cs + jax.nn.sigmoid(i) * jnp.tanh(g)
+                hs = jax.nn.sigmoid(o) * jnp.tanh(cs)
+                out_buf[slot, k] = hs
+                return hs, cs
+
+            hs, cs = jax.lax.fori_loop(
+                0, chunk, step, (h_scr[:], c_scr[:])
+            )
+            h_scr[:] = hs
+            c_scr[:] = cs
+            out_dma(slot, ci).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, ())
+        # drain the last two output DMAs
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    return kernel
+
+
+def lstm_scan_pallas(
+    gx: jnp.ndarray,  # (T, 2B, 4H) fp32: input projections, dirs on batch
+    w_hh: jnp.ndarray,  # (2, H, 4H) fp32
+    chunk: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run the fused LSTM time loop; returns hidden states (T, 2B, H)."""
+    interpret = _auto_interpret(interpret)
+    t_max, b2, h4 = gx.shape
+    h = h4 // 4
+    if t_max % chunk != 0:
+        pad = chunk - t_max % chunk
+        gx = jnp.pad(gx, ((0, pad), (0, 0), (0, 0)))
+        t_pad = t_max + pad
+    else:
+        t_pad = t_max
+    # block-diagonal (2H, 8H): [[Wf, 0], [0, Wb]] so one matmul serves both
+    # directions; zeros cost MXU flops but halve the number of matmul issues
+    zero = jnp.zeros((h, h4), jnp.float32)
+    whh_bd = jnp.concatenate(
+        [jnp.concatenate([w_hh[0], zero], axis=1),
+         jnp.concatenate([zero, w_hh[1]], axis=1)],
+        axis=0,
+    )  # (2H, 8H)
+    kernel = _make_kernel(chunk, t_pad, b2, h)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # gx stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, b2, h * 4), jnp.float32),  # gx double buf
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # out double buf
+            pltpu.VMEM((b2, h), jnp.float32),  # h
+            pltpu.VMEM((b2, h), jnp.float32),  # c
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(gx.astype(jnp.float32), whh_bd)
+    return out[:t_max]
+
+
+def lstm_bidir_pallas(
+    x: jnp.ndarray,  # (T, B, F)
+    w_ih: jnp.ndarray,  # (2, F, 4H)
+    w_hh: jnp.ndarray,  # (2, H, 4H)
+    chunk: int = 8,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full bidirectional layer: (T, B, F) -> (T, B, 2H), matching
+    ``models.rnn._scan_bidir_fused`` full-padded-length semantics."""
+    t, b, _ = x.shape
+    h = w_hh.shape[1]
+    xr = jnp.flip(x, axis=0)
+    x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x2, w_ih.astype(compute_dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(2, t, b, 4 * h)
+    # stack directions on the batch axis: (T, 2B, 4H)
+    gx = jnp.concatenate([gx[0], gx[1]], axis=1)
+    ys = lstm_scan_pallas(gx, w_hh, chunk=chunk, interpret=interpret)
+    fwd = ys[:, :b]
+    bwd = jnp.flip(ys[:, b:], axis=0)
+    return jnp.concatenate([fwd, bwd], axis=-1)
