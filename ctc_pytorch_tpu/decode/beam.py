@@ -163,15 +163,26 @@ class BeamDecoder:
             num_class = len(int2char)
             self.lm_table = lm.dense_table(int2char, num_class)
 
-    def decode(self, log_probs, frame_seq_len=None) -> List[str]:
-        """(T, B, C) log-probs -> decoded strings ('unit unit ...')."""
+    def decode(self, log_probs, frame_seq_len=None, use_native: bool = True
+               ) -> List[str]:
+        """(T, B, C) log-probs -> decoded strings ('unit unit ...').
+
+        Uses the C++ hot loop (native/ctc_native.cpp) when the shared
+        library builds; falls back to the vectorised python search.
+        """
         probs = np.exp(np.asarray(log_probs))
         t_max, b, _ = probs.shape
         if frame_seq_len is None:
             frame_seq_len = [t_max] * b
+        search = ctc_beam_search
+        if use_native:
+            from ctc_pytorch_tpu import native
+
+            if native.available():
+                search = native.ctc_beam_search_native
         out = []
         for i in range(b):
-            y, _ = ctc_beam_search(
+            y, _ = search(
                 probs[:, i], self.beam_width, self.lm_table, self.lm_alpha,
                 self.blank_index, int(frame_seq_len[i]),
             )

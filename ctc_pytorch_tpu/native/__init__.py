@@ -1,0 +1,125 @@
+"""ctypes bindings for the native host-side kernels (ctc_native.cpp).
+
+Builds the shared library on first use with g++ (no pybind11 dependency);
+falls back silently when no compiler is available — callers must check
+``available()`` and keep the pure-python path working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "ctc_native.cpp"
+_LIB_PATH = _HERE / "libctc_native.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(_LIB_PATH)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.batch_edit_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ctc_beam_search.restype = ctypes.c_int32
+        lib.ctc_beam_search.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def batch_edit_distance_native(
+    refs: np.ndarray, ref_lens: np.ndarray, hyps: np.ndarray,
+    hyp_lens: np.ndarray,
+) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    refs = np.ascontiguousarray(refs, np.int32)
+    hyps = np.ascontiguousarray(hyps, np.int32)
+    ref_lens = np.ascontiguousarray(ref_lens, np.int32)
+    hyp_lens = np.ascontiguousarray(hyp_lens, np.int32)
+    b = refs.shape[0]
+    out = np.zeros(b, np.int64)
+    lib.batch_edit_distance(
+        _ptr(refs, ctypes.c_int32), _ptr(ref_lens, ctypes.c_int32),
+        _ptr(hyps, ctypes.c_int32), _ptr(hyp_lens, ctypes.c_int32),
+        b, refs.shape[1] if refs.ndim > 1 else 0,
+        hyps.shape[1] if hyps.ndim > 1 else 0, _ptr(out, ctypes.c_int64),
+    )
+    return out
+
+
+def ctc_beam_search_native(
+    probs: np.ndarray,
+    beam_width: int,
+    lm_table: Optional[np.ndarray] = None,
+    lm_alpha: float = 0.0,
+    blank: int = 0,
+    length: Optional[int] = None,
+) -> Tuple[Tuple[int, ...], float]:
+    lib = _load()
+    assert lib is not None
+    probs = np.ascontiguousarray(probs, np.float32)
+    t, c = probs.shape
+    length = t if length is None else int(length)
+    out_seq = np.zeros(max(t, 1), np.int32)
+    out_score = ctypes.c_double(0.0)
+    if lm_table is not None:
+        lm_arr = np.ascontiguousarray(lm_table, np.float32)
+        lm_ptr = _ptr(lm_arr, ctypes.c_float)
+        lm_dim = lm_arr.shape[0]
+    else:
+        lm_ptr = ctypes.POINTER(ctypes.c_float)()
+        lm_dim = 0
+    n = lib.ctc_beam_search(
+        _ptr(probs, ctypes.c_float), t, c, length, beam_width, lm_ptr,
+        lm_dim, lm_alpha, blank, _ptr(out_seq, ctypes.c_int32),
+        ctypes.byref(out_score),
+    )
+    return tuple(int(x) for x in out_seq[:n]), float(out_score.value)

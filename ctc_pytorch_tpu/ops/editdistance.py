@@ -50,6 +50,20 @@ def batch_edit_distance(
 def padded_edit_distance(
     refs: np.ndarray, ref_lens: np.ndarray, hyps: np.ndarray, hyp_lens: np.ndarray
 ) -> np.ndarray:
+    """Batched edit distance over padded (B, L) arrays.
+
+    Dispatches to the C++ kernel (native/ctc_native.cpp) when it builds,
+    else the vectorised numpy DP below."""
+    from ctc_pytorch_tpu import native
+
+    if native.available():
+        return native.batch_edit_distance_native(refs, ref_lens, hyps, hyp_lens)
+    return _padded_edit_distance_numpy(refs, ref_lens, hyps, hyp_lens)
+
+
+def _padded_edit_distance_numpy(
+    refs: np.ndarray, ref_lens: np.ndarray, hyps: np.ndarray, hyp_lens: np.ndarray
+) -> np.ndarray:
     """Batched DP over padded (B, L) arrays, vectorised across B.
 
     DP over the hyp axis row-by-row; the per-row insertion recurrence is a
