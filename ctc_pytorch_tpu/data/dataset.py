@@ -114,6 +114,11 @@ class SpeechDataset:
             return self._cache[idx]
         utt, rx, label = self.items[idx]
         feat = self.process_feature(self.raw_feature(idx))
+        if getattr(self.opts, "mel", False):
+            # F_Mel warping of the processed log spectrum (data_loader.py:111)
+            from ctc_pytorch_tpu.frontend.fmel import f_mel
+
+            feat = np.asarray(f_mel(feat))
         out = (feat, np.asarray(label, np.int32), utt)
         if self._cache is not None:
             self._cache[idx] = out
