@@ -147,6 +147,8 @@ class Config:
     dtype: str = "bfloat16"  # compute dtype for matmuls; params/loss stay fp32
     data_axis: str = "data"  # mesh axis name for data parallelism
     save_every: int = 0  # periodic durable checkpoint cadence (epochs); 0 = off
+    remat: bool = False  # jax.checkpoint each RNN layer (memory for FLOPs)
+    profile: bool = False  # jax.profiler trace of the first training epoch
 
     # test
     test_scp_path: str = "data/test/fbank.scp"

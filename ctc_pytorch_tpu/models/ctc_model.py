@@ -50,6 +50,7 @@ class ModelSpec:
     drop_out: float
     compute_dtype: str = "bfloat16"
     use_pallas_rnn: bool = False  # fused Pallas LSTM scan on the eval path
+    remat: bool = False  # rematerialise RNN layers in the backward pass
 
     @classmethod
     def from_config(cls, cfg: Config, num_class: int) -> "ModelSpec":
@@ -65,6 +66,7 @@ class ModelSpec:
             num_class=num_class,
             drop_out=cfg.drop_out,
             compute_dtype=cfg.dtype,
+            remat=cfg.remat,
         )
 
     def to_dict(self) -> dict:
@@ -167,6 +169,7 @@ class CTCModel:
             drop_rate=spec.drop_out, train=train, rng=r_rnn, lengths=lengths,
             compute_dtype=compute_dtype,
             pallas=spec.use_pallas_rnn and not train,
+            remat=spec.remat,
         )
 
         t, b, h = out.shape

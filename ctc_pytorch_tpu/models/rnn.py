@@ -296,18 +296,24 @@ def rnn_stack_apply(
     lengths: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
     pallas: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, list]:
     new_states = []
     rngs = (
         jax.random.split(rng, len(params)) if (rng is not None and train) else
         [None] * len(params)
     )
+    layer = functools.partial(
+        rnn_layer_apply,
+        cell=cell, hidden_size=hidden_size, drop_rate=drop_rate,
+        train=train, lengths=lengths, compute_dtype=compute_dtype,
+        pallas=pallas,
+    )
+    if remat:
+        # trade FLOPs for HBM: recompute each layer's activations in the
+        # backward pass instead of storing the per-step scan residuals
+        layer = jax.checkpoint(layer, static_argnums=())
     for p, s, r in zip(params, states, rngs):
-        x, ns = rnn_layer_apply(
-            p, s, x,
-            cell=cell, hidden_size=hidden_size, drop_rate=drop_rate,
-            train=train, rng=r, lengths=lengths, compute_dtype=compute_dtype,
-            pallas=pallas,
-        )
+        x, ns = layer(p, s, x, rng=r)
         new_states.append(ns)
     return x, new_states

@@ -267,12 +267,16 @@ class Trainer:
             t0 = time.time()
             train_loader.set_epoch(self.epoch)
             wf = self.frontend_fn is not None
-            self.state, train_acc, train_loss = run_epoch(
-                self.epoch, self.step_fns, self.state, train_loader,
-                training=True, rng=self.dropout_key,
-                print_every=cfg.verbose_step, compute_wer=compute_wer,
-                waveform=wf, log=log,
-            )
+            from ctc_pytorch_tpu.train.metrics_log import profile_ctx
+
+            with profile_ctx(cfg.profile and self.epoch == 1,
+                             self.out_dir / "profile"):
+                self.state, train_acc, train_loss = run_epoch(
+                    self.epoch, self.step_fns, self.state, train_loader,
+                    training=True, rng=self.dropout_key,
+                    print_every=cfg.verbose_step, compute_wer=compute_wer,
+                    waveform=wf, log=log,
+                )
             _, dev_acc, dev_loss = run_epoch(
                 self.epoch, self.step_fns, self.state, dev_loader,
                 training=False, compute_wer=compute_wer, waveform=wf, log=log,
