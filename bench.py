@@ -152,9 +152,80 @@ def get_baseline() -> float:
     return val
 
 
-def main() -> None:
+def bench_decode_rtf() -> dict:
+    """Greedy and beam decode real-time factors on the flagship model.
+
+    Audio seconds per utterance = T post-skip frames x skip x 10 ms shift.
+    Greedy runs fully on device; beam runs the C++ (or python) host search
+    over device log-probs — the reference's equivalent loop is pure python.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.decode import BeamDecoder, GreedyDecoder
+    from ctc_pytorch_tpu.decode.ngram_lm import train_bigram_lm
+    from ctc_pytorch_tpu.models import CTCModel
+    from __graft_entry__ import _flagship_spec
+    import tempfile
+
+    cfg, spec = _flagship_spec()
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+
+    @jax.jit
+    def forward(feats):
+        return CTCModel.apply(spec, params, state, feats)[0]
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    audio_seconds = B * T * 2 * 0.010  # skip=2, 10ms shift
+    lp = forward(feats)
+    np.asarray(lp)  # warm + sync
+    t0 = time.perf_counter()
+    lp = forward(feats)
+    lp_host = np.asarray(lp)
+    fwd_s = time.perf_counter() - t0
+
+    t_out = lp_host.shape[0]
+    sizes = np.full(B, int(0.95 * t_out), np.int32)
+    int2char = {i: f"p{i}" for i in range(NUM_CLASS)}
+    int2char[0] = "blank"
+
+    g = GreedyDecoder(int2char)
+    t0 = time.perf_counter()
+    g.decode(lp_host, sizes)
+    greedy_s = time.perf_counter() - t0
+
+    with tempfile.TemporaryDirectory() as td:
+        units = [f"p{i}" for i in range(1, NUM_CLASS)]
+        sents = [" ".join(rng.choice(units, 8)) for _ in range(50)]
+        train_bigram_lm(sents, f"{td}/lm.arpa")
+        bd = BeamDecoder(int2char, beam_width=10, lm_path=f"{td}/lm.arpa",
+                         lm_alpha=0.1)
+        t0 = time.perf_counter()
+        bd.decode(lp_host, sizes)
+        beam_s = time.perf_counter() - t0
+
+    from ctc_pytorch_tpu import native
+
+    return {
+        "forward_rtf": (fwd_s) / audio_seconds,
+        "greedy_decode_rtf": (fwd_s + greedy_s) / audio_seconds,
+        "beam10_decode_rtf": (fwd_s + beam_s) / audio_seconds,
+        "beam_native": native.available(),
+        "audio_seconds": audio_seconds,
+    }
+
+
+def main(extra: bool = False) -> None:
     ours = bench_ours()
     baseline = get_baseline()
+    if extra:
+        extras = bench_decode_rtf()
+        extras["train_utts_per_sec"] = ours
+        extras["torch_cpu_utts_per_sec"] = baseline
+        Path(__file__).parent.joinpath("BENCH_EXTRA.json").write_text(
+            json.dumps(extras, indent=1)
+        )
     print(json.dumps({
         "metric": "timit_cnn_bilstm_ctc_train_throughput",
         "value": round(ours, 2),
@@ -164,4 +235,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(extra="--extra" in sys.argv)
