@@ -173,13 +173,40 @@ class SpeechDataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _make_batch(self, indices, t_pad, l_pad) -> Batch:
+        items = [self.dataset[int(i)] for i in indices]
+        n_real = len(items)
+        if self.pad_to_full_batch and n_real < self.batch_size:
+            items = items + [items[-1]] * (self.batch_size - n_real)
+        batch = collate(items, t_pad, l_pad)
+        if n_real < batch.batch_size:
+            batch.example_mask[n_real:] = 0.0
+        return batch
+
     def __iter__(self) -> Iterator[Batch]:
-        for indices, t_pad, l_pad in self.batcher.epoch_batches(self.epoch):
-            items = [self.dataset[int(i)] for i in indices]
-            n_real = len(items)
-            if self.pad_to_full_batch and n_real < self.batch_size:
-                items = items + [items[-1]] * (self.batch_size - n_real)
-            batch = collate(items, t_pad, l_pad)
-            if n_real < batch.batch_size:
-                batch.example_mask[n_real:] = 0.0
-            yield batch
+        """Assemble batches one step ahead on a background thread (the
+        reference uses torch DataLoader worker processes for the same
+        overlap, ``timit/steps/train_ctc.py:91-92``)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for indices, t_pad, l_pad in self.batcher.epoch_batches(
+                    self.epoch
+                ):
+                    q.put(self._make_batch(indices, t_pad, l_pad))
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

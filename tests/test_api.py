@@ -1,0 +1,56 @@
+"""Recognizer API: package -> transcripts over raw audio."""
+
+import numpy as np
+
+import jax
+
+from ctc_pytorch_tpu.api import Recognizer
+from ctc_pytorch_tpu.config import CNNConfig, Config
+from ctc_pytorch_tpu.frontend.e2e import WaveFrontendSpec
+from ctc_pytorch_tpu.frontend.features import FrontendConfig
+from ctc_pytorch_tpu.models import CTCModel
+from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+from ctc_pytorch_tpu.train.checkpoint import save_package
+from ctc_pytorch_tpu.train.state import TrainState
+from ctc_pytorch_tpu.vocab import Vocab
+from ctc_pytorch_tpu.data.prep.sphere import write_wav
+
+
+def _mini_package(tmp_path, fe):
+    cfg = Config()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.rnn_input_size = fe.feature_dim()
+    cfg.rnn_hidden_size = 8
+    cfg.rnn_layers = 1
+    cfg.drop_out = 0.0
+    cfg.dtype = "float32"
+    spec = ModelSpec.from_config(cfg, num_class=4)
+    params, mstate = CTCModel.init(jax.random.PRNGKey(0), spec)
+    import jax.numpy as jnp
+
+    state = TrainState(jnp.zeros((), jnp.int32), params, mstate, ())
+    path = tmp_path / "model.npz"
+    save_package(path, spec, state)
+    return path
+
+
+def test_recognizer_end_to_end(tmp_path):
+    fe = WaveFrontendSpec(
+        frontend=FrontendConfig(num_mel_bins=12), left_ctx=0, right_ctx=0,
+        n_skip_frame=1,
+    )
+    pkg = _mini_package(tmp_path, fe)
+    vocab = Vocab.from_units(["aa", "bb"])
+    rec = Recognizer(pkg, vocab, frontend=fe)
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(8000) * 500).astype(np.float32)
+    out = rec.recognize(wav)
+    assert isinstance(out, list) and len(out) == 1
+    # batch of mixed lengths + file input
+    p = tmp_path / "x.wav"
+    write_wav(p, (rng.randn(4000) * 500).astype(np.int16))
+    out2 = rec.recognize([wav, p])
+    assert len(out2) == 2
+    for s in out2:
+        for tok in s.split():
+            assert tok in ("aa", "bb", "UNK")
