@@ -38,6 +38,7 @@ def evaluate(
         test_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
     )
 
+    on_device_beam = cfg.decode_type == "BeamDevice"
     if cfg.decode_type == "Greedy":
         decoder = GreedyDecoder(vocab.index2word)
     else:
@@ -60,7 +61,10 @@ def evaluate(
         log_probs = forward(jnp.asarray(batch.feats))
         t_out = log_probs.shape[0]
         input_sizes = (batch.input_frac * t_out).astype(np.int32)
-        decoded = decoder.decode(np.asarray(log_probs), input_sizes)
+        if on_device_beam:
+            decoded = decoder.decode_on_device(log_probs, input_sizes)
+        else:
+            decoded = decoder.decode(np.asarray(log_probs), input_sizes)
         targets = [
             decoder.scorer.to_string(
                 batch.labels[i], int(batch.label_lengths[i])

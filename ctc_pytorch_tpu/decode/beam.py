@@ -188,3 +188,24 @@ class BeamDecoder:
             )
             out.append(" ".join(self.int2char[l] for l in y))
         return out
+
+    def decode_on_device(self, log_probs, frame_seq_len,
+                         max_len: int = 96) -> List[str]:
+        """Whole-batch decode in one jitted program (decode/beam_device.py)."""
+        import jax.numpy as jnp
+
+        from ctc_pytorch_tpu.decode.beam_device import batched_beam_search
+
+        probs = jnp.exp(jnp.asarray(log_probs)).transpose(1, 0, 2)
+        lm = (jnp.asarray(self.lm_table, jnp.float32)
+              if self.lm_table is not None else None)
+        seqs, lens, _ = batched_beam_search(
+            probs, jnp.asarray(frame_seq_len), beam_width=self.beam_width,
+            max_len=max_len, blank=self.blank_index, lm_table=lm,
+            lm_alpha=self.lm_alpha,
+        )
+        seqs, lens = np.asarray(seqs), np.asarray(lens)
+        return [
+            " ".join(self.int2char[int(l)] for l in seqs[i][: lens[i]])
+            for i in range(seqs.shape[0])
+        ]

@@ -1,0 +1,201 @@
+"""Batched on-device CTC prefix beam search (fixed beam width, jittable).
+
+The reference decodes per-utterance in a python dict loop
+(``timit/utils/BeamSearch.py``); the host C++ port (native/ctc_native.cpp)
+already beats it by orders of magnitude.  This version goes further: the
+whole batch decodes in ONE jitted program on the TPU — no host round-trip
+of the log-probs at all.
+
+Semantics proved equal to the dict algorithm (tests vs decode/beam.py):
+
+- the dict version prunes to the top ``beam_width`` prefixes *at expansion
+  time*; entries beyond top-K are never expanded nor merged again, so a
+  fixed-K state pruned at the END of each frame expands exactly the same
+  set (the final top-K before </s>/length-norm also coincides);
+- within a frame, an extension ``y+(k)`` can merge with a surviving copy of
+  the same tuple.  In a deduplicated beam the merge partner is unique: the
+  parent of beam j is the beam k with ``prefix_k == prefix_j[:-1]`` — found
+  batched via a (K, K, L) prefix-equality mask;
+- blank-skip (>0.9), the prBlank-vs-prTotal repeat rule on the raw t−1
+  frame, per-extension LM fusion, </s> scoring, and length normalisation
+  all match ``BeamSearch.py`` (see decode/beam.py's rule citations).
+
+State per utterance: prefixes (K, L) int32, lengths (K,), pr_blank (K,),
+pr_nonblank (K,), valid (K,).  Per frame: K copies + K·(C−1) extensions
+are scored, merged, and top-K selected with ``lax.top_k`` — all VPU work
+plus one small LM gather; vmapped over the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1.0e9
+LOG_EPS = 1e-300
+
+
+def _logaddexp(a, b):
+    return jnp.logaddexp(a, b)
+
+
+def _beam_step(state, inputs, *, k_width, num_class, max_len, blank,
+               lm_table, lm_alpha):
+    """One frame for one utterance."""
+    prefixes, lengths, pr_b, pr_nb, valid = state
+    probs_t, probs_prev, t_active = inputs
+    c = num_class
+
+    lp = jnp.log(jnp.maximum(probs_t, LOG_EPS))
+    lp_blank = lp[blank]
+    total = _logaddexp(pr_b, pr_nb)
+    total = jnp.where(valid, total, NEG)
+    prev_ge = probs_prev[blank] >= 0.9
+
+    last = jnp.where(
+        lengths > 0,
+        prefixes[jnp.arange(k_width), jnp.maximum(lengths - 1, 0)],
+        -1,
+    )
+
+    # ---- parent matching: parent[j] = k with prefix_k == prefix_j[:-1] ----
+    pos = jnp.arange(max_len)[None, None, :]
+    plen = jnp.maximum(lengths - 1, 0)  # parent length of j
+    eq = prefixes[None, :, :] == prefixes[:, None, :]  # (j, k, L)
+    cmp_mask = pos < plen[:, None, None]
+    prefix_match = jnp.all(eq | ~cmp_mask, axis=2)  # (j, k)
+    len_match = lengths[None, :] == plen[:, None]  # (j, k): len_k == len_j - 1
+    is_parent = prefix_match & len_match & valid[None, :] & valid[:, None]
+    is_parent &= (lengths > 0)[:, None]
+    parent_idx = jnp.argmax(is_parent, axis=1)  # (j,)
+    has_parent = jnp.any(is_parent, axis=1)
+
+    # ---- extension scores: ext[k, c'] ------------------------------------
+    if lm_table is not None:
+        sent = lm_table.shape[0] - 1
+        ctx = jnp.where(last >= 0, last, sent)
+        lm_rows = lm_table[ctx] * lm_alpha  # (K, V+1)
+        lm_term = lm_rows[:, :c]
+    else:
+        lm_term = jnp.zeros((k_width, c))
+    base_same = jnp.where(prev_ge, total, pr_b)  # repeat-label base
+    classes = jnp.arange(c)[None, :]
+    base = jnp.where(classes == last[:, None], base_same[:, None],
+                     total[:, None])
+    ext = lp[None, :] + lm_term + base  # (K, C)
+    ext = jnp.where(valid[:, None], ext, NEG)
+    ext = ext.at[:, blank].set(NEG)  # no blank extensions
+    ext = jnp.where(lengths[:, None] < max_len, ext, NEG)  # capacity guard
+
+    # ---- copy path -------------------------------------------------------
+    copy_b = total + lp_blank
+    copy_nb = jnp.where(last >= 0, pr_nb + lp[jnp.maximum(last, 0)], NEG)
+    # merge the unique ext source into the surviving copy
+    merge_score = ext[parent_idx, jnp.maximum(last, 0)]
+    merge_score = jnp.where(has_parent, merge_score, NEG)
+    copy_nb = _logaddexp(copy_nb, merge_score)
+    # remove merged extensions from the candidate pool
+    merged_mask = jnp.zeros((k_width, c), bool).at[
+        parent_idx, jnp.maximum(last, 0)
+    ].max(has_parent)
+    ext = jnp.where(merged_mask, NEG, ext)
+
+    copy_total = _logaddexp(copy_b, copy_nb)
+    copy_total = jnp.where(valid, copy_total, NEG)
+
+    # ---- top-K over K + K*C candidates -----------------------------------
+    pool_scores = jnp.concatenate([copy_total, ext.reshape(-1)])
+    top_scores, top_idx = jax.lax.top_k(pool_scores, k_width)
+    is_copy = top_idx < k_width
+    src = jnp.where(is_copy, top_idx, (top_idx - k_width) // c)
+    cls = jnp.where(is_copy, 0, (top_idx - k_width) % c)
+
+    new_prefixes = prefixes[src]
+    new_lengths = jnp.where(is_copy, lengths[src], lengths[src] + 1)
+    # append class for extensions
+    write_pos = jnp.minimum(lengths[src], max_len - 1)
+    appended = new_prefixes.at[jnp.arange(k_width), write_pos].set(
+        cls.astype(prefixes.dtype)
+    )
+    new_prefixes = jnp.where(is_copy[:, None], new_prefixes, appended)
+    new_pr_b = jnp.where(is_copy, copy_b[src], NEG)
+    new_pr_nb = jnp.where(is_copy, copy_nb[src], ext[src, cls])
+    new_valid = top_scores > NEG / 2
+
+    # ---- blank-skip / inactive frame keeps the old state ------------------
+    skip = (1.0 - probs_t[blank] < 0.1) | ~t_active
+    out = tuple(
+        jnp.where(skip, old, new) if old.ndim == 1 else
+        jnp.where(skip, old, new)
+        for old, new in [
+            (prefixes, new_prefixes), (lengths, new_lengths),
+            (pr_b, new_pr_b), (pr_nb, new_pr_nb), (valid, new_valid),
+        ]
+    )
+    return out, None
+
+
+def _decode_one(probs, length, *, k_width, max_len, blank, lm_table,
+                lm_alpha):
+    t_max, c = probs.shape
+    prefixes = jnp.zeros((k_width, max_len), jnp.int32)
+    lengths = jnp.zeros((k_width,), jnp.int32)
+    pr_b = jnp.full((k_width,), NEG).at[0].set(0.0)
+    pr_nb = jnp.full((k_width,), NEG)
+    valid = jnp.zeros((k_width,), bool).at[0].set(True)
+
+    probs_prev = jnp.concatenate([jnp.ones((1, c)), probs[:-1]], axis=0)
+    t_active = jnp.arange(t_max) < length
+
+    step = functools.partial(
+        _beam_step, k_width=k_width, num_class=c, max_len=max_len,
+        blank=blank, lm_table=lm_table, lm_alpha=lm_alpha,
+    )
+    (prefixes, lengths, pr_b, pr_nb, valid), _ = jax.lax.scan(
+        step, (prefixes, lengths, pr_b, pr_nb, valid),
+        (probs, probs_prev, t_active),
+    )
+
+    total = jnp.where(valid, _logaddexp(pr_b, pr_nb), NEG)
+    if lm_table is not None:
+        sent = lm_table.shape[0] - 1
+        last = jnp.where(
+            lengths > 0,
+            prefixes[jnp.arange(k_width), jnp.maximum(lengths - 1, 0)],
+            -1,
+        )
+        end_lm = jnp.where(
+            last >= 0, lm_table[jnp.maximum(last, 0), sent] * lm_alpha, 0.0
+        )
+        total = total + end_lm
+    norm = total / jnp.maximum(lengths, 1)
+    best = jnp.argmax(jnp.where(valid, norm, NEG))
+    return prefixes[best], lengths[best], norm[best]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_len", "blank", "lm_alpha"),
+)
+def batched_beam_search(
+    probs: jnp.ndarray,  # (B, T, C) probabilities
+    lengths: jnp.ndarray,  # (B,)
+    beam_width: int = 10,
+    max_len: int = 96,
+    blank: int = 0,
+    lm_table: Optional[jnp.ndarray] = None,
+    lm_alpha: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode a whole batch on device.
+
+    Returns (sequences (B, max_len), lengths (B,), normalised scores (B,)).
+    """
+    fn = functools.partial(
+        _decode_one, k_width=beam_width, max_len=max_len, blank=blank,
+        lm_table=lm_table, lm_alpha=lm_alpha,
+    )
+    return jax.vmap(fn)(probs, lengths)
