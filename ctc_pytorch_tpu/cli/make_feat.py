@@ -50,6 +50,12 @@ def extract_features(
             feats = add_deltas(feats)
     elif feat_type == "spectrogram":
         feats = spectrogram(wav, cfg)
+    elif feat_type == "spectrum":
+        # the 863/librosa variant: log1p(|STFT|), 201-dim
+        # (timit/local/make_spectrum.py:54-96)
+        from ctc_pytorch_tpu.frontend import log_spectrum_librosa
+
+        feats = log_spectrum_librosa(wav, normalize=False)
     else:
         raise ValueError(f"Feature type {feat_type} does not support!")
     return np.asarray(feats)
@@ -79,7 +85,10 @@ def run_split(
     for utt, path in entries:
         wav = read_audio(path)
         n = len(wav)
-        t = max(0, 1 + (n - flen) // shift)
+        if feat_type == "spectrum":  # centred STFT framing (librosa)
+            t = 1 + n // shift
+        else:  # Kaldi snip-edges
+            t = max(0, 1 + (n - flen) // shift)
         padded = np.zeros(_bucket_pad(max(n, flen)), np.float32)
         padded[:n] = wav
         full = extract_features(padded, feat_type, cfg, deltas)[:t]
@@ -101,7 +110,8 @@ def run_split(
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="feature extraction + global CMVN")
-    p.add_argument("feat_type", choices=["fbank", "mfcc", "spectrogram"])
+    p.add_argument("feat_type",
+                   choices=["fbank", "mfcc", "spectrogram", "spectrum"])
     p.add_argument("data_dir")
     p.add_argument("--num-mel-bins", type=int, default=80)
     p.add_argument("--window", default="hamming")

@@ -148,6 +148,7 @@ class Config:
     data_axis: str = "data"  # mesh axis name for data parallelism
     save_every: int = 0  # periodic durable checkpoint cadence (epochs); 0 = off
     remat: bool = False  # jax.checkpoint each RNN layer (memory for FLOPs)
+    ctc_impl: str = "scan"  # 'scan' | 'pallas' CTC loss backend
     profile: bool = False  # jax.profiler trace of the first training epoch
 
     # test

@@ -76,3 +76,27 @@ class Scorer:
             self.num_word += len(ref.split())
             self.num_char += len(ref)
         return cer, wer
+
+
+def phone_word_error(decoder, log_probs, frame_seq_len, targets,
+                     target_sizes) -> tuple:
+    """Decode + score in one call, matching ``Decoder.phone_word_error``
+    (``timit/utils/ctcDecoder.py:27-49``): returns accumulated (cer, wer);
+    running normalisers live on ``decoder.scorer``.
+
+    Targets may be padded (B, L) rows or a flat 1-D array with sizes
+    (the 863/warp-ctc convention, unflattened like ``ctcDecoder.py:51-64``).
+    """
+    import numpy as np
+
+    targets = np.asarray(targets)
+    sizes = [int(s) for s in target_sizes]
+    if targets.ndim == 1:
+        rows, off = [], 0
+        for s in sizes:
+            rows.append(targets[off : off + s])
+            off += s
+    else:
+        rows = [targets[i][: sizes[i]] for i in range(len(sizes))]
+    hyps = decoder.decode(log_probs, frame_seq_len)
+    return decoder.scorer.score_batch(hyps, rows, sizes)

@@ -48,13 +48,21 @@ from ctc_pytorch_tpu.train.state import (
 
 
 def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
-                  frontend_fn=None):
+                  frontend_fn=None, ctc_impl: str = "scan"):
     """Build jitted (train_step, eval_step) closed over spec and optimizer.
 
     With ``frontend_fn`` (waveform-in end-to-end), ``feats`` carries padded
     raw waveforms and ``frac`` carries the valid *sample* counts; the frontend
     runs inside the same jitted graph and rewrites both.
+
+    ``ctc_impl`` selects the loss backend: 'scan' (lax.scan DP) or 'pallas'
+    (single-program alpha/beta kernels, ops/ctc_pallas.py) — both expose the
+    same custom −γ VJP, so training results are identical.
     """
+    if ctc_impl == "pallas":
+        from ctc_pytorch_tpu.ops.ctc_pallas import ctc_loss_pallas as _ctc
+    else:
+        _ctc = ctc_loss
 
     def _forward(params, model_state, feats, frac, labels, label_lens, mask,
                  rng, train: bool):
@@ -66,7 +74,7 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
         log_probs, new_mstate = out[0], out[1]
         t_out = log_probs.shape[0]
         input_sizes = (frac * t_out).astype(jnp.int32)
-        neg_ll = ctc_loss(
+        neg_ll = _ctc(
             log_probs, labels, input_sizes, label_lens, reduction="none"
         )
         # reference: sum over batch / batch_size (train_ctc.py:47-48);
@@ -228,7 +236,8 @@ class Trainer:
 
             self.state = replicate(self.state, mesh)
         self.step_fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis,
-                                      frontend_fn=frontend_fn)
+                                      frontend_fn=frontend_fn,
+                                      ctc_impl=cfg.ctc_impl)
         self.scheduler = PlateauScheduler(
             end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay,
             mode=cfg.scheduler_mode,
