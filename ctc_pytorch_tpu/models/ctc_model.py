@@ -168,7 +168,7 @@ class CTCModel:
             cell=spec.rnn_cell, hidden_size=spec.rnn_hidden_size,
             drop_rate=spec.drop_out, train=train, rng=r_rnn, lengths=lengths,
             compute_dtype=compute_dtype,
-            pallas=spec.use_pallas_rnn and not train,
+            pallas=spec.use_pallas_rnn,
             remat=spec.remat,
         )
 

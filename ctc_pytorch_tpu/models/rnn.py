@@ -235,17 +235,19 @@ def rnn_layer_apply(
     new_state = dict(state)
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
-    if ("bwd" in params and pallas and cell == "lstm" and lengths is None
-            and not train):
-        # fused Pallas scan on the inference path (ops/lstm_pallas.py)
-        from ctc_pytorch_tpu.ops.lstm_pallas import lstm_bidir_pallas
+    if ("bwd" in params and pallas and cell == "lstm" and lengths is None):
+        # fused Pallas scan: trainable kernel (custom VJP) in training,
+        # lighter forward-only kernel at eval (ops/lstm_pallas*.py)
+        w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
+        w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
+        if train:
+            from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_bidir_train
 
-        out = lstm_bidir_pallas(
-            x,
-            jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]]),
-            jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]]),
-            compute_dtype=compute_dtype,
-        )
+            out = lstm_bidir_train(x, w_ih, w_hh, compute_dtype=compute_dtype)
+        else:
+            from ctc_pytorch_tpu.ops.lstm_pallas import lstm_bidir_pallas
+
+            out = lstm_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype)
     elif "bwd" in params:
         out = _scan_bidir_fused(
             params, x, cell, hidden_size, compute_dtype, lengths=lengths

@@ -1,0 +1,420 @@
+"""Trainable fused Pallas LSTM: forward + hand-derived backward kernels.
+
+Extends ops/lstm_pallas.py to the training path via ``jax.custom_vjp``:
+
+- **forward** streams gx chunks HBM->VMEM and emits BOTH hidden states
+  ``ys`` and cell states ``cs`` (the only residuals; gates are recomputed
+  in the backward from gx + ys, one extra MXU matmul per step — cheaper
+  than streaming 4 gate planes);
+- **backward** walks time in reverse with (dh, dc) carried in VMEM,
+  recomputes the gate activations, forms ``dpre`` (the gradient at the
+  pre-activations == d gx), streams it out, accumulates ``dW_hh`` in a
+  VMEM fp32 block, and backpropagates ``dh_{t-1}`` through the recurrent
+  weights with a transposed-contraction dot (no weight transpose buffer);
+- both directions ride the batch axis with block-diagonal recurrent
+  weights, exactly like the inference kernel;
+- ``dW_ih``/``dx`` fall out of ``dgx`` with two large XLA matmuls outside
+  the kernel.
+
+Gradient check: tests/test_lstm_pallas_train.py compares against autodiff
+of ``models.rnn._scan_bidir_fused`` in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: like lstm_pallas but also writes cell states
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
+    n_chunks = t_max // chunk
+
+    def kernel(gx_hbm, whh_ref, ys_hbm, cs_hbm, gx_buf, y_buf, c_buf,
+               h_scr, c_scr, in_sems, y_sems, c_sems):
+        def in_dma(slot, idx):
+            return pltpu.make_async_copy(
+                gx_hbm.at[pl.ds(idx * chunk, chunk)], gx_buf.at[slot],
+                in_sems.at[slot],
+            )
+
+        def y_dma(slot, idx):
+            return pltpu.make_async_copy(
+                y_buf.at[slot], ys_hbm.at[pl.ds(idx * chunk, chunk)],
+                y_sems.at[slot],
+            )
+
+        def c_dma(slot, idx):
+            return pltpu.make_async_copy(
+                c_buf.at[slot], cs_hbm.at[pl.ds(idx * chunk, chunk)],
+                c_sems.at[slot],
+            )
+
+        h_scr[:] = jnp.zeros((b2, h), jnp.float32)
+        c_scr[:] = jnp.zeros((b2, h), jnp.float32)
+        in_dma(0, 0).start()
+        whh = whh_ref[:]
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+            nxt = (ci + 1) % 2
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                in_dma(nxt, ci + 1).start()
+
+            in_dma(slot, ci).wait()
+
+            @pl.when(ci >= 2)
+            def _():
+                y_dma(slot, ci - 2).wait()
+                c_dma(slot, ci - 2).wait()
+
+            def step(k, carry):
+                hs, cs = carry
+                hh = jnp.dot(
+                    jnp.concatenate([hs[: b2 // 2], hs[b2 // 2:]], axis=1),
+                    whh, preferred_element_type=jnp.float32,
+                )
+                gates = gx_buf[slot, k] + jnp.concatenate(
+                    [hh[:, : 4 * h], hh[:, 4 * h:]], axis=0
+                )
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                cs = _sigmoid(f) * cs + _sigmoid(i) * jnp.tanh(g)
+                hs = _sigmoid(o) * jnp.tanh(cs)
+                y_buf[slot, k] = hs
+                c_buf[slot, k] = cs
+                return hs, cs
+
+            hs, cs = jax.lax.fori_loop(0, chunk, step, (h_scr[:], c_scr[:]))
+            h_scr[:] = hs
+            c_scr[:] = cs
+            y_dma(slot, ci).start()
+            c_dma(slot, ci).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, ())
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            y_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+            c_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        y_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+        c_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
+    n_chunks = t_max // chunk
+    b = b2 // 2
+
+    def kernel(gx_hbm, whh_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm, dwhh_ref,
+               gx_buf, yprev_buf, cprev_buf, c_buf, dy_buf, dgx_buf,
+               dh_scr, dc_scr, sems, out_sems):
+        # sems layout: [gx0, gx1, yp0, yp1, cp0, cp1, c0, c1, dy0, dy1]
+        def in_dmas(slot, ci):
+            t0 = ci * chunk
+            return [
+                pltpu.make_async_copy(
+                    gx_hbm.at[pl.ds(t0, chunk)], gx_buf.at[slot],
+                    sems.at[slot]),
+                # h_{t-1}, c_{t-1} for t in [t0, t0+chunk): rows t0-1 .. —
+                # handled by passing ys/cs shifted one step (see wrapper),
+                # so the aligned chunk IS the "previous" plane
+                pltpu.make_async_copy(
+                    ys_hbm.at[pl.ds(t0, chunk)], yprev_buf.at[slot],
+                    sems.at[2 + slot]),
+                pltpu.make_async_copy(
+                    cs_hbm.at[pl.ds(t0, chunk)], cprev_buf.at[slot],
+                    sems.at[4 + slot]),
+                pltpu.make_async_copy(
+                    cs_hbm.at[pl.ds(t0 + 1, chunk)], c_buf.at[slot],
+                    sems.at[6 + slot]),
+                pltpu.make_async_copy(
+                    dy_hbm.at[pl.ds(t0, chunk)], dy_buf.at[slot],
+                    sems.at[8 + slot]),
+            ]
+
+        def out_dma(slot, ci):
+            return pltpu.make_async_copy(
+                dgx_buf.at[slot], dgx_hbm.at[pl.ds(ci * chunk, chunk)],
+                out_sems.at[slot],
+            )
+
+        dh_scr[:] = jnp.zeros((b2, h), jnp.float32)
+        dc_scr[:] = jnp.zeros((b2, h), jnp.float32)
+        dwhh_ref[:] = jnp.zeros((2 * h, 8 * h), jnp.float32)
+        whh = whh_ref[:]
+
+        # process chunks in reverse
+        for d in in_dmas((n_chunks - 1) % 2, n_chunks - 1):
+            d.start()
+
+        def chunk_body(rci, _):
+            ci = n_chunks - 1 - rci
+            slot = ci % 2
+            nxt_ci = ci - 1
+
+            @pl.when(nxt_ci >= 0)
+            def _():
+                for d in in_dmas(nxt_ci % 2, nxt_ci):
+                    d.start()
+
+            for d in in_dmas(slot, ci):
+                d.wait()
+
+            @pl.when(rci >= 2)
+            def _():
+                out_dma(slot, ci + 2).wait()
+
+            def step(kk, carry):
+                k = chunk - 1 - kk  # reverse within chunk
+                dh, dc, dw = carry
+                h_prev = yprev_buf[slot, k]
+                c_prev = cprev_buf[slot, k]
+                c_t = c_buf[slot, k]
+                # recompute gate activations
+                hcat = jnp.concatenate(
+                    [h_prev[:b], h_prev[b:]], axis=1
+                )  # (B, 2H)
+                hh = jnp.dot(hcat, whh, preferred_element_type=jnp.float32)
+                gates = gx_buf[slot, k] + jnp.concatenate(
+                    [hh[:, : 4 * h], hh[:, 4 * h:]], axis=0
+                )
+                i = _sigmoid(gates[:, :h])
+                f = _sigmoid(gates[:, h:2 * h])
+                g = jnp.tanh(gates[:, 2 * h:3 * h])
+                o = _sigmoid(gates[:, 3 * h:])
+                tc = jnp.tanh(c_t)
+
+                dh_t = dy_buf[slot, k] + dh
+                do = dh_t * tc
+                dct = dc + dh_t * o * (1.0 - tc * tc)
+                di = dct * g
+                df = dct * c_prev
+                dg = dct * i
+                dpre = jnp.concatenate([
+                    di * i * (1.0 - i),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - g * g),
+                    do * o * (1.0 - o),
+                ], axis=1)  # (2B, 4H)
+                dgx_buf[slot, k] = dpre
+                dpre_cat = jnp.concatenate(
+                    [dpre[:b], dpre[b:]], axis=1
+                )  # (B, 8H)
+                # dh_{t-1} (B, 2H): contract dpre with W over the 8H axis
+                dh_prev_cat = jax.lax.dot_general(
+                    dpre_cat, whh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dh_prev = jnp.concatenate(
+                    [dh_prev_cat[:, :h], dh_prev_cat[:, h:]], axis=0
+                )
+                # dW += h_prev^T @ dpre
+                dw = dw + jax.lax.dot_general(
+                    hcat, dpre_cat,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dc_prev = dct * f
+                return dh_prev, dc_prev, dw
+
+            dh, dc, dw = jax.lax.fori_loop(
+                0, chunk, step, (dh_scr[:], dc_scr[:], dwhh_ref[:])
+            )
+            dh_scr[:] = dh
+            dc_scr[:] = dc
+            dwhh_ref[:] = dw
+            out_dma(slot, ci).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, ())
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((1) % 2, 1).wait()
+
+        out_dma(0, 0).wait()
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _pad_t(x, chunk):
+    t = x.shape[0]
+    pad = (-t) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, t
+
+
+def _block_diag(w_hh):
+    h, h4 = w_hh.shape[1], w_hh.shape[2]
+    zero = jnp.zeros((h, h4), jnp.float32)
+    return jnp.concatenate(
+        [jnp.concatenate([w_hh[0], zero], axis=1),
+         jnp.concatenate([zero, w_hh[1]], axis=1)], axis=0,
+    )
+
+
+def _fwd_pallas(gx, whh_bd, chunk, interpret):
+    t_pad, b2, h4 = gx.shape
+    h = h4 // 4
+    kernel = _make_fwd_kernel(chunk, t_pad, b2, h)
+    ys, cs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),
+            pltpu.VMEM((b2, h), jnp.float32),
+            pltpu.VMEM((b2, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(gx, whh_bd)
+    return ys, cs
+
+
+def _bwd_pallas(gx, whh_bd, ys, cs, dy, chunk, interpret):
+    t_pad, b2, h4 = gx.shape
+    h = h4 // 4
+    # shifted planes: row t holds state t-1 (zeros at t=0)
+    zeros = jnp.zeros((1, b2, h), jnp.float32)
+    ys_prev = jnp.concatenate([zeros, ys[:-1]], axis=0)
+    cs_shift = jnp.concatenate([zeros, cs], axis=0)  # row t+1 = c_t
+    kernel = _make_bwd_kernel(chunk, t_pad, b2, h)
+    dgx, dwhh = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, b2, h4), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h, 8 * h), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # gx
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whh
+            pl.BlockSpec(memory_space=pl.ANY),  # ys_prev
+            pl.BlockSpec(memory_space=pl.ANY),  # cs_shift
+            pl.BlockSpec(memory_space=pl.ANY),  # dy
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),  # dgx
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwhh (accumulator)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gx
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # y_prev
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # c_prev
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # c_t
+            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # dy
+            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # dgx out
+            pltpu.VMEM((b2, h), jnp.float32),  # dh carry
+            pltpu.VMEM((b2, h), jnp.float32),  # dc carry
+            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(gx, whh_bd, ys_prev, cs_shift, dy)
+    return dgx, dwhh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lstm_scan_train(gx, w_hh, chunk: int = 8,
+                    interpret: bool | None = None):
+    ys, _ = _fwd_impl(gx, w_hh, chunk, interpret)
+    return ys
+
+
+def _fwd_impl(gx, w_hh, chunk, interpret):
+    interpret = _auto_interpret(interpret)
+    gx_p, t = _pad_t(gx.astype(jnp.float32), chunk)
+    whh_bd = _block_diag(w_hh.astype(jnp.float32))
+    ys, cs = _fwd_pallas(gx_p, whh_bd, chunk, interpret)
+    return ys[:t], (gx_p, whh_bd, ys, cs, t)
+
+
+def _fwd_rule(gx, w_hh, chunk, interpret):
+    ys, res = _fwd_impl(gx, w_hh, chunk, interpret)
+    return ys, res
+
+
+def _bwd_rule(chunk, interpret, res, dy):
+    gx_p, whh_bd, ys, cs, t = res
+    interpret_r = _auto_interpret(interpret)
+    t_pad = gx_p.shape[0]
+    h = whh_bd.shape[0] // 2
+    dy_p = jnp.zeros((t_pad,) + dy.shape[1:], jnp.float32).at[:t].set(dy)
+    dgx, dwhh_bd = _bwd_pallas(gx_p, whh_bd, ys, cs, dy_p, chunk, interpret_r)
+    dw_f = dwhh_bd[:h, : 4 * h]
+    dw_b = dwhh_bd[h:, 4 * h:]
+    return dgx[:t], jnp.stack([dw_f, dw_b])
+
+
+lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)
+
+
+def lstm_bidir_train(
+    x: jnp.ndarray,  # (T, B, F)
+    w_ih: jnp.ndarray,  # (2, F, 4H)
+    w_hh: jnp.ndarray,  # (2, H, 4H)
+    chunk: int = 8,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Trainable bidirectional layer, same semantics as
+    ``models.rnn._scan_bidir_fused`` (full-padded-length reversal)."""
+    t, b, _ = x.shape
+    h = w_hh.shape[1]
+    xr = jnp.flip(x, axis=0)
+    x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x2, w_ih.astype(compute_dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(2, t, b, 4 * h)
+    gx = jnp.concatenate([gx[0], gx[1]], axis=1)  # (T, 2B, 4H)
+    ys = lstm_scan_train(gx, w_hh, chunk, interpret)
+    fwd = ys[:, :b]
+    bwd = jnp.flip(ys[:, b:], axis=0)
+    return jnp.concatenate([fwd, bwd], axis=-1)
