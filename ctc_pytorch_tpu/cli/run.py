@@ -28,25 +28,30 @@ from ctc_pytorch_tpu.data.prep import prepare_timit
 def main(argv=None):
     p = argparse.ArgumentParser(description="CTC pipeline (tpu)")
     p.add_argument("--stage", type=int, default=0)
+    p.add_argument("--stop-stage", type=int, default=4,
+                   help="last stage to run (inclusive)")
     p.add_argument("--timit", default=None, help="TIMIT corpus root (stage 0)")
     p.add_argument("--data", default="data")
     p.add_argument("--conf", default="conf/ctc_config.yaml")
     p.add_argument("--feat", default="fbank",
-                   choices=["fbank", "mfcc", "spectrogram"])
+                   choices=["fbank", "mfcc", "spectrogram", "spectrum"])
     p.add_argument("--phoneme-map", default="60-39")
     args = p.parse_args(argv)
 
-    if args.stage <= 0:
+    def active(n):
+        return args.stage <= n <= args.stop_stage
+
+    if active(0):
         assert args.timit, "--timit is required for stage 0"
         counts = prepare_timit(args.timit, args.data, args.phoneme_map)
         print(f"Data preparation succeeded: {counts}")
-    if args.stage <= 1:
+    if active(1):
         make_feat.main([args.feat, args.data])
-    if args.stage <= 2:
+    if active(2):
         train_cli.main(["--conf", args.conf])
-    if args.stage <= 3:
+    if active(3):
         train_lm.main([args.data])
-    if args.stage <= 4:
+    if active(4):
         test_cli.main(["--conf", args.conf])
 
 

@@ -51,6 +51,7 @@ class FrontendConfig:
     window: str = "hamming"  # povey | hamming | hanning | rectangular | blackman
     round_to_power_of_two: bool = True
     dither: float = 0.0  # deterministic by default; Kaldi defaults to 1.0
+    dither_seed: int = 0
     # mel options
     num_mel_bins: int = 80
     low_freq: float = 20.0
@@ -124,6 +125,11 @@ def _preprocess_frames(
     ProcessWindow: dither -> dc offset -> raw energy -> preemphasis -> window.
     """
     x = frames.astype(jnp.float32)
+    if cfg.dither > 0.0:
+        # deterministic dither keyed on the config seed (Kaldi uses RandGauss;
+        # we default dither=0.0 for reproducibility, Kaldi defaults 1.0)
+        key = jax.random.PRNGKey(cfg.dither_seed)
+        x = x + cfg.dither * jax.random.normal(key, x.shape, jnp.float32)
     if cfg.remove_dc:
         x = x - jnp.mean(x, axis=-1, keepdims=True)
     log_energy = jnp.log(jnp.maximum(jnp.sum(x * x, axis=-1), EPS))

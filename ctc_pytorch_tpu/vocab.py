@@ -42,10 +42,17 @@ class Vocab:
                 self.add_word(word)
 
     def read_lang(self, vocab_file: str | Path) -> None:
-        """Units file: one unit per line (first whitespace field), file order."""
+        """Units file in file order (``read_lang``, ``data_loader.py:36-47``):
+        single-column lines add the unit; multi-column lines (e.g. a lexicon
+        ``word p1 p2``) add every field after the first, like the reference."""
         for line in Path(vocab_file).read_text().splitlines():
             parts = line.strip().split()
-            if parts:
+            if not parts:
+                continue
+            if len(parts) > 1:
+                for word in parts[1:]:
+                    self.add_word(word)
+            else:
                 self.add_word(parts[0])
 
     @classmethod
