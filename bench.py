@@ -38,11 +38,16 @@ def bench_ours(steps: int = 30, warmup: int = 5) -> float:
     from ctc_pytorch_tpu.train.state import create_train_state
     from __graft_entry__ import _flagship_spec
 
+    import dataclasses
+
     cfg, spec = _flagship_spec()
+    # fused Pallas LSTM (custom VJP) + Pallas CTC: +23% over the scan path
+    # on v5e (identical losses; see ops/lstm_pallas_train.py, ops/ctc_pallas.py)
+    spec = dataclasses.replace(spec, use_pallas_rnn=True)
     state, tx = create_train_state(
         jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay
     )
-    train_jit, _ = make_step_fns(spec, tx)
+    train_jit, _ = make_step_fns(spec, tx, ctc_impl="pallas")
 
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))

@@ -13,9 +13,13 @@ time loop inside one Pallas program:
   VPU gate math — nothing leaves the chip until the outputs stream back;
 - outputs (T, 2B, H) stream VMEM -> HBM from the same chunk buffers.
 
-Forward-only (inference/eval path); training keeps the autodiffable scan.
-``lstm_bidir_pallas`` matches ``models.rnn._scan_bidir_fused`` numerically
-(see tests/test_lstm_pallas.py).
+VMEM budget at the flagship shape (B=64, H=384, chunk=4): gx double-buffer
+6.3 MB + out 1.6 MB + weights 4.7 MB + state 0.4 MB ≈ 13 MB < 16 MB (the
+earlier block-diagonal-weights variant OOMed scoped vmem at 33 MB).
+
+Forward-only (inference/eval path); ops/lstm_pallas_train.py adds the
+custom-VJP training variant.  ``lstm_bidir_pallas`` matches
+``models.rnn._scan_bidir_fused`` numerically (tests/test_lstm_pallas.py).
 """
 
 from __future__ import annotations
@@ -36,11 +40,23 @@ def _auto_interpret(interpret):
     return interpret
 
 
+def _lstm_cell(gx_row, hs, cs, wf_ref, wb_ref, b: int, h: int):
+    """One step for both directions stacked on the batch axis (2B, ·)."""
+    hh_f = jnp.dot(hs[:b], wf_ref[:], preferred_element_type=jnp.float32)
+    hh_b = jnp.dot(hs[b:], wb_ref[:], preferred_element_type=jnp.float32)
+    gates = gx_row + jnp.concatenate([hh_f, hh_b], axis=0)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    cs = jax.nn.sigmoid(f) * cs + jax.nn.sigmoid(i) * jnp.tanh(g)
+    hs = jax.nn.sigmoid(o) * jnp.tanh(cs)
+    return hs, cs, gates
+
+
 def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
     n_chunks = t_max // chunk
+    b = b2 // 2
 
-    def kernel(gx_hbm, whh_ref, out_hbm, gx_buf, out_buf, h_scr, c_scr,
-               in_sems, out_sems):
+    def kernel(gx_hbm, wf_ref, wb_ref, out_hbm, gx_buf, out_buf, h_scr,
+               c_scr, in_sems, out_sems):
         def in_dma(slot, idx):
             return pltpu.make_async_copy(
                 gx_hbm.at[pl.ds(idx * chunk, chunk)],
@@ -58,7 +74,6 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
         h_scr[:] = jnp.zeros((b2, h), jnp.float32)
         c_scr[:] = jnp.zeros((b2, h), jnp.float32)
         in_dma(0, 0).start()
-        whh = whh_ref[:]  # (2H, 4H) block-diagonal layout, see wrapper
 
         def chunk_body(ci, _):
             slot = ci % 2
@@ -70,27 +85,15 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             in_dma(slot, ci).wait()
 
-            # wait for this slot's previous output write before reuse
             @pl.when(ci >= 2)
             def _():
                 out_dma(slot, ci - 2).wait()
 
             def step(k, carry):
                 hs, cs = carry
-                # block-diagonal recurrent weights make both directions one
-                # MXU matmul: [h_f | h_b] @ [[Wf 0],[0 Wb]]
-                hh = jnp.dot(
-                    jnp.concatenate(
-                        [hs[: b2 // 2], hs[b2 // 2:]], axis=1
-                    ),
-                    whh, preferred_element_type=jnp.float32,
+                hs, cs, _ = _lstm_cell(
+                    gx_buf[slot, k], hs, cs, wf_ref, wb_ref, b, h
                 )
-                gates = gx_buf[slot, k] + jnp.concatenate(
-                    [hh[:, : 4 * h], hh[:, 4 * h:]], axis=0
-                )
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                cs = jax.nn.sigmoid(f) * cs + jax.nn.sigmoid(i) * jnp.tanh(g)
-                hs = jax.nn.sigmoid(o) * jnp.tanh(cs)
                 out_buf[slot, k] = hs
                 return hs, cs
 
@@ -116,7 +119,7 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
 def lstm_scan_pallas(
     gx: jnp.ndarray,  # (T, 2B, 4H) fp32: input projections, dirs on batch
     w_hh: jnp.ndarray,  # (2, H, 4H) fp32
-    chunk: int = 8,
+    chunk: int = 4,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Run the fused LSTM time loop; returns hidden states (T, 2B, H)."""
@@ -129,20 +132,13 @@ def lstm_scan_pallas(
         t_pad = t_max + pad
     else:
         t_pad = t_max
-    # block-diagonal (2H, 8H): [[Wf, 0], [0, Wb]] so one matmul serves both
-    # directions; zeros cost MXU flops but halve the number of matmul issues
-    zero = jnp.zeros((h, h4), jnp.float32)
-    whh_bd = jnp.concatenate(
-        [jnp.concatenate([w_hh[0], zero], axis=1),
-         jnp.concatenate([zero, w_hh[1]], axis=1)],
-        axis=0,
-    )  # (2H, 8H)
     kernel = _make_kernel(chunk, t_pad, b2, h)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # gx stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -156,7 +152,8 @@ def lstm_scan_pallas(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx.astype(jnp.float32), whh_bd)
+    )(gx.astype(jnp.float32), w_hh[0].astype(jnp.float32),
+      w_hh[1].astype(jnp.float32))
     return out[:t_max]
 
 
@@ -164,7 +161,7 @@ def lstm_bidir_pallas(
     x: jnp.ndarray,  # (T, B, F)
     w_ih: jnp.ndarray,  # (2, F, 4H)
     w_hh: jnp.ndarray,  # (2, H, 4H)
-    chunk: int = 8,
+    chunk: int = 4,
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:

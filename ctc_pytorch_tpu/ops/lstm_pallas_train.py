@@ -8,16 +8,18 @@ Extends ops/lstm_pallas.py to the training path via ``jax.custom_vjp``:
   than streaming 4 gate planes);
 - **backward** walks time in reverse with (dh, dc) carried in VMEM,
   recomputes the gate activations, forms ``dpre`` (the gradient at the
-  pre-activations == d gx), streams it out, accumulates ``dW_hh`` in a
-  VMEM fp32 block, and backpropagates ``dh_{t-1}`` through the recurrent
-  weights with a transposed-contraction dot (no weight transpose buffer);
-- both directions ride the batch axis with block-diagonal recurrent
-  weights, exactly like the inference kernel;
-- ``dW_ih``/``dx`` fall out of ``dgx`` with two large XLA matmuls outside
-  the kernel.
+  pre-activations == d gx), streams it out, and backpropagates
+  ``dh_{t-1}`` through the recurrent weights with a transposed-contraction
+  dot (no weight-transpose buffer);
+- ``dW_hh`` is NOT accumulated in the kernel: it is one large XLA matmul
+  over the emitted ``dgx`` and the shifted ``ys`` (keeps the kernel's VMEM
+  at ~14 MB: gx/dgx double-buffers at chunk=2, four small streams, fp32
+  weights, carries);
+- ``dW_ih``/``dx`` fall out of ``dgx`` with two more XLA matmuls.
 
 Gradient check: tests/test_lstm_pallas_train.py compares against autodiff
-of ``models.rnn._scan_bidir_fused`` in interpret mode.
+of ``models.rnn._scan_bidir_fused`` in interpret mode; the same comparison
+runs compiled on real TPU hardware.
 """
 
 from __future__ import annotations
@@ -30,11 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret
-
-
-def _sigmoid(x):
-    return jax.nn.sigmoid(x)
+from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, _lstm_cell
 
 
 # ---------------------------------------------------------------------------
@@ -43,8 +41,9 @@ def _sigmoid(x):
 
 def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
     n_chunks = t_max // chunk
+    b = b2 // 2
 
-    def kernel(gx_hbm, whh_ref, ys_hbm, cs_hbm, gx_buf, y_buf, c_buf,
+    def kernel(gx_hbm, wf_ref, wb_ref, ys_hbm, cs_hbm, gx_buf, y_buf, c_buf,
                h_scr, c_scr, in_sems, y_sems, c_sems):
         def in_dma(slot, idx):
             return pltpu.make_async_copy(
@@ -67,7 +66,6 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
         h_scr[:] = jnp.zeros((b2, h), jnp.float32)
         c_scr[:] = jnp.zeros((b2, h), jnp.float32)
         in_dma(0, 0).start()
-        whh = whh_ref[:]
 
         def chunk_body(ci, _):
             slot = ci % 2
@@ -86,16 +84,9 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             def step(k, carry):
                 hs, cs = carry
-                hh = jnp.dot(
-                    jnp.concatenate([hs[: b2 // 2], hs[b2 // 2:]], axis=1),
-                    whh, preferred_element_type=jnp.float32,
+                hs, cs, _ = _lstm_cell(
+                    gx_buf[slot, k], hs, cs, wf_ref, wb_ref, b, h
                 )
-                gates = gx_buf[slot, k] + jnp.concatenate(
-                    [hh[:, : 4 * h], hh[:, 4 * h:]], axis=0
-                )
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                cs = _sigmoid(f) * cs + _sigmoid(i) * jnp.tanh(g)
-                hs = _sigmoid(o) * jnp.tanh(cs)
                 y_buf[slot, k] = hs
                 c_buf[slot, k] = cs
                 return hs, cs
@@ -121,14 +112,14 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# backward kernel (emits dgx; dW_hh assembled outside)
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
     n_chunks = t_max // chunk
     b = b2 // 2
 
-    def kernel(gx_hbm, whh_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm, dwhh_ref,
+    def kernel(gx_hbm, wf_ref, wb_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm,
                gx_buf, yprev_buf, cprev_buf, c_buf, dy_buf, dgx_buf,
                dh_scr, dc_scr, sems, out_sems):
         # sems layout: [gx0, gx1, yp0, yp1, cp0, cp1, c0, c1, dy0, dy1]
@@ -138,9 +129,8 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                 pltpu.make_async_copy(
                     gx_hbm.at[pl.ds(t0, chunk)], gx_buf.at[slot],
                     sems.at[slot]),
-                # h_{t-1}, c_{t-1} for t in [t0, t0+chunk): rows t0-1 .. —
-                # handled by passing ys/cs shifted one step (see wrapper),
-                # so the aligned chunk IS the "previous" plane
+                # the wrapper passes ys/cs shifted one step, so the aligned
+                # chunk IS the "previous state" plane for t in the chunk
                 pltpu.make_async_copy(
                     ys_hbm.at[pl.ds(t0, chunk)], yprev_buf.at[slot],
                     sems.at[2 + slot]),
@@ -163,10 +153,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
         dh_scr[:] = jnp.zeros((b2, h), jnp.float32)
         dc_scr[:] = jnp.zeros((b2, h), jnp.float32)
-        dwhh_ref[:] = jnp.zeros((2 * h, 8 * h), jnp.float32)
-        whh = whh_ref[:]
 
-        # process chunks in reverse
         for d in in_dmas((n_chunks - 1) % 2, n_chunks - 1):
             d.start()
 
@@ -189,22 +176,22 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             def step(kk, carry):
                 k = chunk - 1 - kk  # reverse within chunk
-                dh, dc, dw = carry
+                dh, dc = carry
                 h_prev = yprev_buf[slot, k]
                 c_prev = cprev_buf[slot, k]
                 c_t = c_buf[slot, k]
                 # recompute gate activations
-                hcat = jnp.concatenate(
-                    [h_prev[:b], h_prev[b:]], axis=1
-                )  # (B, 2H)
-                hh = jnp.dot(hcat, whh, preferred_element_type=jnp.float32)
+                hh_f = jnp.dot(h_prev[:b], wf_ref[:],
+                               preferred_element_type=jnp.float32)
+                hh_b = jnp.dot(h_prev[b:], wb_ref[:],
+                               preferred_element_type=jnp.float32)
                 gates = gx_buf[slot, k] + jnp.concatenate(
-                    [hh[:, : 4 * h], hh[:, 4 * h:]], axis=0
+                    [hh_f, hh_b], axis=0
                 )
-                i = _sigmoid(gates[:, :h])
-                f = _sigmoid(gates[:, h:2 * h])
+                i = jax.nn.sigmoid(gates[:, :h])
+                f = jax.nn.sigmoid(gates[:, h:2 * h])
                 g = jnp.tanh(gates[:, 2 * h:3 * h])
-                o = _sigmoid(gates[:, 3 * h:])
+                o = jax.nn.sigmoid(gates[:, 3 * h:])
                 tc = jnp.tanh(c_t)
 
                 dh_t = dy_buf[slot, k] + dh
@@ -220,33 +207,24 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                     do * o * (1.0 - o),
                 ], axis=1)  # (2B, 4H)
                 dgx_buf[slot, k] = dpre
-                dpre_cat = jnp.concatenate(
-                    [dpre[:b], dpre[b:]], axis=1
-                )  # (B, 8H)
-                # dh_{t-1} (B, 2H): contract dpre with W over the 8H axis
-                dh_prev_cat = jax.lax.dot_general(
-                    dpre_cat, whh,
+                # dh_{t-1}: contract dpre with W over the 4H axis, per dir
+                dh_f = jax.lax.dot_general(
+                    dpre[:b], wf_ref[:],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                dh_prev = jnp.concatenate(
-                    [dh_prev_cat[:, :h], dh_prev_cat[:, h:]], axis=0
-                )
-                # dW += h_prev^T @ dpre
-                dw = dw + jax.lax.dot_general(
-                    hcat, dpre_cat,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                dh_b = jax.lax.dot_general(
+                    dpre[b:], wb_ref[:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                dh_prev = jnp.concatenate([dh_f, dh_b], axis=0)
                 dc_prev = dct * f
-                return dh_prev, dc_prev, dw
+                return dh_prev, dc_prev
 
-            dh, dc, dw = jax.lax.fori_loop(
-                0, chunk, step, (dh_scr[:], dc_scr[:], dwhh_ref[:])
-            )
+            dh, dc = jax.lax.fori_loop(0, chunk, step, (dh_scr[:], dc_scr[:]))
             dh_scr[:] = dh
             dc_scr[:] = dc
-            dwhh_ref[:] = dw
             out_dma(slot, ci).start()
             return ()
 
@@ -254,7 +232,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
         @pl.when(n_chunks >= 2)
         def _():
-            out_dma((1) % 2, 1).wait()
+            out_dma(1, 1).wait()
 
         out_dma(0, 0).wait()
 
@@ -273,16 +251,7 @@ def _pad_t(x, chunk):
     return x, t
 
 
-def _block_diag(w_hh):
-    h, h4 = w_hh.shape[1], w_hh.shape[2]
-    zero = jnp.zeros((h, h4), jnp.float32)
-    return jnp.concatenate(
-        [jnp.concatenate([w_hh[0], zero], axis=1),
-         jnp.concatenate([zero, w_hh[1]], axis=1)], axis=0,
-    )
-
-
-def _fwd_pallas(gx, whh_bd, chunk, interpret):
+def _fwd_pallas(gx, w_hh, chunk, interpret):
     t_pad, b2, h4 = gx.shape
     h = h4 // 4
     kernel = _make_fwd_kernel(chunk, t_pad, b2, h)
@@ -294,6 +263,7 @@ def _fwd_pallas(gx, whh_bd, chunk, interpret):
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -312,35 +282,26 @@ def _fwd_pallas(gx, whh_bd, chunk, interpret):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx, whh_bd)
+    )(gx, w_hh[0], w_hh[1])
     return ys, cs
 
 
-def _bwd_pallas(gx, whh_bd, ys, cs, dy, chunk, interpret):
+def _bwd_pallas(gx, w_hh, ys_prev, cs_shift, dy, chunk, interpret):
     t_pad, b2, h4 = gx.shape
     h = h4 // 4
-    # shifted planes: row t holds state t-1 (zeros at t=0)
-    zeros = jnp.zeros((1, b2, h), jnp.float32)
-    ys_prev = jnp.concatenate([zeros, ys[:-1]], axis=0)
-    cs_shift = jnp.concatenate([zeros, cs], axis=0)  # row t+1 = c_t
     kernel = _make_bwd_kernel(chunk, t_pad, b2, h)
-    dgx, dwhh = pl.pallas_call(
+    dgx = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((t_pad, b2, h4), jnp.float32),
-            jax.ShapeDtypeStruct((2 * h, 8 * h), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h4), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # gx
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wf
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wb
             pl.BlockSpec(memory_space=pl.ANY),  # ys_prev
             pl.BlockSpec(memory_space=pl.ANY),  # cs_shift
             pl.BlockSpec(memory_space=pl.ANY),  # dy
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),  # dgx
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwhh (accumulator)
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gx
             pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # y_prev
@@ -355,39 +316,56 @@ def _bwd_pallas(gx, whh_bd, ys, cs, dy, chunk, interpret):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx, whh_bd, ys_prev, cs_shift, dy)
-    return dgx, dwhh
+    )(gx, w_hh[0], w_hh[1], ys_prev, cs_shift, dy)
+    return dgx
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def lstm_scan_train(gx, w_hh, chunk: int = 8,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def lstm_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
                     interpret: bool | None = None):
-    ys, _ = _fwd_impl(gx, w_hh, chunk, interpret)
+    ys, _ = _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret)
     return ys
 
 
-def _fwd_impl(gx, w_hh, chunk, interpret):
-    interpret = _auto_interpret(interpret)
-    gx_p, t = _pad_t(gx.astype(jnp.float32), chunk)
-    whh_bd = _block_diag(w_hh.astype(jnp.float32))
-    ys, cs = _fwd_pallas(gx_p, whh_bd, chunk, interpret)
-    return ys[:t], (gx_p, whh_bd, ys, cs, t)
+def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
+    interp = _auto_interpret(interpret)
+    gx_p, t = _pad_t(gx.astype(jnp.float32), fwd_chunk)
+    w_hh = w_hh.astype(jnp.float32)
+    ys, cs = _fwd_pallas(gx_p, w_hh, fwd_chunk, interp)
+    return ys[:t], (gx_p, w_hh, ys, cs, t)
 
 
-def _fwd_rule(gx, w_hh, chunk, interpret):
-    ys, res = _fwd_impl(gx, w_hh, chunk, interpret)
+def _fwd_rule(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
+    ys, res = _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret)
     return ys, res
 
 
-def _bwd_rule(chunk, interpret, res, dy):
-    gx_p, whh_bd, ys, cs, t = res
-    interpret_r = _auto_interpret(interpret)
-    t_pad = gx_p.shape[0]
-    h = whh_bd.shape[0] // 2
+def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
+    gx_p, w_hh, ys, cs, t = res
+    interp = _auto_interpret(interpret)
+    t_fwd = gx_p.shape[0]
+    b2 = gx_p.shape[1]
+    h = w_hh.shape[1]
+    # re-pad to the backward chunk size
+    pad_b = (-t_fwd) % bwd_chunk
+    t_pad = t_fwd + pad_b
+    zeros1 = jnp.zeros((1, b2, h), jnp.float32)
+    ys_prev = jnp.concatenate([zeros1, ys[:-1]], axis=0)  # row t = h_{t-1}
+    cs_shift = jnp.concatenate([zeros1, cs], axis=0)  # row t+1 = c_t
+    if pad_b:
+        gx_p = jnp.pad(gx_p, ((0, pad_b), (0, 0), (0, 0)))
+        ys_prev = jnp.pad(ys_prev, ((0, pad_b), (0, 0), (0, 0)))
+        cs_shift = jnp.pad(cs_shift, ((0, pad_b), (0, 0), (0, 0)))
     dy_p = jnp.zeros((t_pad,) + dy.shape[1:], jnp.float32).at[:t].set(dy)
-    dgx, dwhh_bd = _bwd_pallas(gx_p, whh_bd, ys, cs, dy_p, chunk, interpret_r)
-    dw_f = dwhh_bd[:h, : 4 * h]
-    dw_b = dwhh_bd[h:, 4 * h:]
+    dgx = _bwd_pallas(gx_p, w_hh, ys_prev, cs_shift, dy_p, bwd_chunk, interp)
+    dgx = dgx[:t_fwd]
+    # dW_hh[d] = sum_t h_prev[t]^T dpre[t] — one big XLA matmul per direction
+    b = b2 // 2
+    hp = ys_prev[:t_fwd]
+    dw_f = jnp.einsum("tbh,tbg->hg", hp[:, :b], dgx[:, :b],
+                      preferred_element_type=jnp.float32)
+    dw_b = jnp.einsum("tbh,tbg->hg", hp[:, b:], dgx[:, b:],
+                      preferred_element_type=jnp.float32)
     return dgx[:t], jnp.stack([dw_f, dw_b])
 
 
@@ -398,7 +376,7 @@ def lstm_bidir_train(
     x: jnp.ndarray,  # (T, B, F)
     w_ih: jnp.ndarray,  # (2, F, 4H)
     w_hh: jnp.ndarray,  # (2, H, 4H)
-    chunk: int = 8,
+    chunk: int = 4,
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -414,7 +392,7 @@ def lstm_bidir_train(
         preferred_element_type=jnp.float32,
     ).reshape(2, t, b, 4 * h)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)  # (T, 2B, 4H)
-    ys = lstm_scan_train(gx, w_hh, chunk, interpret)
+    ys = lstm_scan_train(gx, w_hh, chunk, max(chunk // 2, 2), interpret)
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)
