@@ -41,9 +41,16 @@ def _auto_interpret(interpret):
 
 
 def _lstm_cell(gx_row, hs, cs, wf_ref, wb_ref, b: int, h: int):
-    """One step for both directions stacked on the batch axis (2B, ·)."""
-    hh_f = jnp.dot(hs[:b], wf_ref[:], preferred_element_type=jnp.float32)
-    hh_b = jnp.dot(hs[b:], wb_ref[:], preferred_element_type=jnp.float32)
+    """One step for both directions stacked on the batch axis (2B, ·).
+
+    The recurrent dots run in the weights' dtype (bf16 on the production
+    path — native MXU rate) with fp32 accumulation; state stays fp32.
+    """
+    dd = wf_ref.dtype
+    hh_f = jnp.dot(hs[:b].astype(dd), wf_ref[:],
+                   preferred_element_type=jnp.float32)
+    hh_b = jnp.dot(hs[b:].astype(dd), wb_ref[:],
+                   preferred_element_type=jnp.float32)
     gates = gx_row + jnp.concatenate([hh_f, hh_b], axis=0)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     cs = jax.nn.sigmoid(f) * cs + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -118,7 +125,7 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
 
 def lstm_scan_pallas(
     gx: jnp.ndarray,  # (T, 2B, 4H) fp32: input projections, dirs on batch
-    w_hh: jnp.ndarray,  # (2, H, 4H) fp32
+    w_hh: jnp.ndarray,  # (2, H, 4H); its dtype sets the MXU dot dtype
     chunk: int = 4,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -152,8 +159,7 @@ def lstm_scan_pallas(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx.astype(jnp.float32), w_hh[0].astype(jnp.float32),
-      w_hh[1].astype(jnp.float32))
+    )(gx.astype(jnp.float32), w_hh[0], w_hh[1])
     return out[:t_max]
 
 
@@ -178,7 +184,11 @@ def lstm_bidir_pallas(
     ).reshape(2, t, b, 4 * h)
     # stack directions on the batch axis: (T, 2B, 4H)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)
-    ys = lstm_scan_pallas(gx, w_hh, chunk=chunk, interpret=interpret)
+    # NOTE: kernel weights stay fp32 (validated on v5e); pass a bf16 w_hh
+    # explicitly to opt into bf16 MXU dots (untested on hardware so far)
+    ys = lstm_scan_pallas(
+        gx, w_hh.astype(jnp.float32), chunk=chunk, interpret=interpret
+    )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)

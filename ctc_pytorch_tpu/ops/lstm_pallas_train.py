@@ -180,10 +180,11 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                 h_prev = yprev_buf[slot, k]
                 c_prev = cprev_buf[slot, k]
                 c_t = c_buf[slot, k]
-                # recompute gate activations
-                hh_f = jnp.dot(h_prev[:b], wf_ref[:],
+                # recompute gate activations (dots in the weights' dtype)
+                dd = wf_ref.dtype
+                hh_f = jnp.dot(h_prev[:b].astype(dd), wf_ref[:],
                                preferred_element_type=jnp.float32)
-                hh_b = jnp.dot(h_prev[b:], wb_ref[:],
+                hh_b = jnp.dot(h_prev[b:].astype(dd), wb_ref[:],
                                preferred_element_type=jnp.float32)
                 gates = gx_buf[slot, k] + jnp.concatenate(
                     [hh_f, hh_b], axis=0
@@ -209,12 +210,12 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                 dgx_buf[slot, k] = dpre
                 # dh_{t-1}: contract dpre with W over the 4H axis, per dir
                 dh_f = jax.lax.dot_general(
-                    dpre[:b], wf_ref[:],
+                    dpre[:b].astype(dd), wf_ref[:],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 dh_b = jax.lax.dot_general(
-                    dpre[b:], wb_ref[:],
+                    dpre[b:].astype(dd), wb_ref[:],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -330,7 +331,6 @@ def lstm_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
 def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
     interp = _auto_interpret(interpret)
     gx_p, t = _pad_t(gx.astype(jnp.float32), fwd_chunk)
-    w_hh = w_hh.astype(jnp.float32)
     ys, cs = _fwd_pallas(gx_p, w_hh, fwd_chunk, interp)
     return ys[:t], (gx_p, w_hh, ys, cs, t)
 
@@ -366,7 +366,8 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
                       preferred_element_type=jnp.float32)
     dw_b = jnp.einsum("tbh,tbg->hg", hp[:, b:], dgx[:, b:],
                       preferred_element_type=jnp.float32)
-    return dgx[:t], jnp.stack([dw_f, dw_b])
+    # cotangent dtype must match the (possibly bf16) primal weights
+    return dgx[:t], jnp.stack([dw_f, dw_b]).astype(w_hh.dtype)
 
 
 lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)
@@ -392,7 +393,10 @@ def lstm_bidir_train(
         preferred_element_type=jnp.float32,
     ).reshape(2, t, b, 4 * h)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)  # (T, 2B, 4H)
-    ys = lstm_scan_train(gx, w_hh, chunk, max(chunk // 2, 2), interpret)
+    # kernel weights stay fp32 (validated on v5e); bf16 dots are opt-in
+    ys = lstm_scan_train(
+        gx, w_hh.astype(jnp.float32), chunk, max(chunk // 2, 2), interpret
+    )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)
