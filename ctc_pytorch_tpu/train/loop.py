@@ -161,8 +161,8 @@ def run_epoch(
     """One pass; returns (state, accuracy=1-wer, average_loss) like
     ``run_epoch`` (``train_ctc.py:26-69``)."""
     train_jit, eval_jit = step_fns
-    total_loss = 0.0
-    cur_loss = 0.0
+    device_losses = []  # defer host syncs: fetch only at print/epoch points
+    cur_start = 0
     total_errs = 0
     total_tokens = 1e-9
     n_batches = 0
@@ -184,9 +184,7 @@ def run_epoch(
             loss, greedy_idx, input_sizes, _ = eval_jit(
                 state, feats, frac, labels, label_lens, mask
             )
-        loss_val = float(loss)
-        total_loss += loss_val
-        cur_loss += loss_val
+        device_losses.append(loss)
         n_batches += 1
         if compute_wer:
             errs, toks = _batch_token_errors(
@@ -196,13 +194,16 @@ def run_epoch(
             total_errs += errs
             total_tokens += toks
         if training and (i + 1) % print_every == 0:
+            vals = [float(l) for l in device_losses[cur_start:]]
+            total_so_far = sum(float(l) for l in device_losses[:cur_start]) + sum(vals)
             log(
                 f"Epoch = {epoch_id}, step = {i + 1}, "
-                f"cur_loss = {cur_loss / print_every:.4f}, "
-                f"total_loss = {total_loss / (i + 1):.4f}, "
+                f"cur_loss = {sum(vals) / max(len(vals), 1):.4f}, "
+                f"total_loss = {total_so_far / (i + 1):.4f}, "
                 f"total_wer = {total_errs / total_tokens:.4f}"
             )
-            cur_loss = 0.0
+            cur_start = len(device_losses)
+    total_loss = sum(float(l) for l in device_losses)
     avg_loss = total_loss / max(n_batches, 1)
     acc = 1.0 - total_errs / total_tokens
     tag = "Train" if training else "Valid"
