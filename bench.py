@@ -196,6 +196,7 @@ def bench_decode_rtf() -> dict:
     int2char[0] = "blank"
 
     g = GreedyDecoder(int2char)
+    g.decode(lp_host, sizes)  # warm the jitted collapse
     t0 = time.perf_counter()
     g.decode(lp_host, sizes)
     greedy_s = time.perf_counter() - t0
@@ -209,6 +210,11 @@ def bench_decode_rtf() -> dict:
         t0 = time.perf_counter()
         bd.decode(lp_host, sizes)
         beam_s = time.perf_counter() - t0
+        # on-device batched beam (decode/beam_device.py)
+        bd.decode_on_device(lp_host, sizes)  # warm
+        t0 = time.perf_counter()
+        bd.decode_on_device(lp_host, sizes)
+        beam_dev_s = time.perf_counter() - t0
 
     from ctc_pytorch_tpu import native
 
@@ -216,6 +222,7 @@ def bench_decode_rtf() -> dict:
         "forward_rtf": (fwd_s) / audio_seconds,
         "greedy_decode_rtf": (fwd_s + greedy_s) / audio_seconds,
         "beam10_decode_rtf": (fwd_s + beam_s) / audio_seconds,
+        "beam10_device_rtf": (fwd_s + beam_dev_s) / audio_seconds,
         "beam_native": native.available(),
         "audio_seconds": audio_seconds,
     }

@@ -39,6 +39,14 @@ def replicate(tree, mesh: Mesh):
 
 def shard_batch(arrays: tuple, mesh: Mesh, axis: str = "data"):
     """Place batch-major arrays with the batch axis sharded over the mesh."""
+    n_dev = mesh.shape[axis]
+    for a in arrays:
+        if hasattr(a, "shape") and a.shape and a.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"batch size {a.shape[0]} must divide the {n_dev}-device "
+                f"'{axis}' axis; pick batch_size as a multiple (see "
+                "pad_batch_to_devices)"
+            )
     sharding = NamedSharding(mesh, P(axis))
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
