@@ -25,7 +25,7 @@ The reference's blank index is 0 (``Vocab``: blank=0), which we default.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Pass ``interpret=True`` off-TPU (tests run the interpreter on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,9 +24,6 @@ custom-VJP training variant.  ``lstm_bidir_pallas`` matches
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

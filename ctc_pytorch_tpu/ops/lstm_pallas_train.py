@@ -25,7 +25,6 @@ runs compiled on real TPU hardware.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

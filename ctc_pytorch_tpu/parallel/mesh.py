@@ -16,8 +16,6 @@ TIMIT-sized training to a full pod slice (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -19,17 +19,15 @@ Functional redesign of ``timit/steps/train_ctc.py`` (``main``/``run_epoch``):
 
 from __future__ import annotations
 
-import functools
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ctc_pytorch_tpu.config import Config
-from ctc_pytorch_tpu.data.batching import Batch
 from ctc_pytorch_tpu.decode.greedy import greedy_collapse
 from ctc_pytorch_tpu.models import CTCModel
 from ctc_pytorch_tpu.models.ctc_model import ModelSpec

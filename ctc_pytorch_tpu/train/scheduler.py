@@ -20,8 +20,6 @@ on dev *accuracy* (``cnn_lstm_ctc.py:213-241``); pass ``mode='acc'``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 
 @dataclasses.dataclass
 class PlateauDecision:

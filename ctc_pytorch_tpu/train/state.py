@@ -12,7 +12,7 @@ along in checkpoints and rollback snapshots, like torch's
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
