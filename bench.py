@@ -21,7 +21,7 @@ from pathlib import Path
 
 import numpy as np
 
-B = 64  # our batch per step
+B = 128  # our batch per step
 T = 160  # frames after skip (typical TIMIT 3.2s utterance)
 F = 243
 L = 48  # max label length

@@ -37,6 +37,25 @@ def _auto_interpret(interpret):
     return interpret
 
 
+VMEM_BUDGET = 14 * 1024 * 1024  # leave ~2 MB slack under the 16 MB limit
+
+
+def auto_chunk(b2: int, h: int, stream_h_units: int, budget: int = VMEM_BUDGET,
+               weights_bytes: int = 0, candidates=(8, 4, 2, 1)) -> int:
+    """Largest chunk whose double-buffered streams + weights fit VMEM.
+
+    ``stream_h_units``: total per-timestep stream width in units of H
+    (e.g. eval kernel: gx 4H + out 1H = 5; train fwd: 4+1+1 = 6;
+    train bwd: gx 4 + dgx 4 + 4 small streams = 12).
+    """
+    state_bytes = 4 * b2 * h * 4  # h/c or dh/dc carries (fp32, generous)
+    for c in candidates:
+        stream = 2 * c * b2 * h * stream_h_units * 4
+        if stream + weights_bytes + state_bytes <= budget:
+            return c
+    return 1
+
+
 def _lstm_cell(gx_row, hs, cs, wf_ref, wb_ref, b: int, h: int):
     """One step for both directions stacked on the batch axis (2B, ·).
 
@@ -123,13 +142,16 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
 def lstm_scan_pallas(
     gx: jnp.ndarray,  # (T, 2B, 4H) fp32: input projections, dirs on batch
     w_hh: jnp.ndarray,  # (2, H, 4H); its dtype sets the MXU dot dtype
-    chunk: int = 4,
+    chunk: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Run the fused LSTM time loop; returns hidden states (T, 2B, H)."""
     interpret = _auto_interpret(interpret)
     t_max, b2, h4 = gx.shape
     h = h4 // 4
+    if chunk is None:
+        w_bytes = 2 * h * h4 * w_hh.dtype.itemsize
+        chunk = auto_chunk(b2, h, 5, weights_bytes=w_bytes)
     if t_max % chunk != 0:
         pad = chunk - t_max % chunk
         gx = jnp.pad(gx, ((0, pad), (0, 0), (0, 0)))
@@ -164,7 +186,7 @@ def lstm_bidir_pallas(
     x: jnp.ndarray,  # (T, B, F)
     w_ih: jnp.ndarray,  # (2, F, 4H)
     w_hh: jnp.ndarray,  # (2, H, 4H)
-    chunk: int = 4,
+    chunk: int | None = None,
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, _lstm_cell
+from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, _lstm_cell, auto_chunk
 
 
 # ---------------------------------------------------------------------------
@@ -121,27 +121,27 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
     def kernel(gx_hbm, wf_ref, wb_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm,
                gx_buf, yprev_buf, cprev_buf, c_buf, dy_buf, dgx_buf,
                dh_scr, dc_scr, sems, out_sems):
-        # sems layout: [gx0, gx1, yp0, yp1, cp0, cp1, c0, c1, dy0, dy1]
-        def in_dmas(slot, ci):
+        # gx double-buffered (sems 0-1); the four small state/grad streams
+        # are single-buffered (sems 2-5) — they are tiny next to gx/dgx and
+        # waited immediately, trading overlap for ~6 MB of VMEM
+        def gx_dma(slot, ci):
+            return pltpu.make_async_copy(
+                gx_hbm.at[pl.ds(ci * chunk, chunk)], gx_buf.at[slot],
+                sems.at[slot])
+
+        def small_dmas(ci):
             t0 = ci * chunk
+            # the wrapper passes ys/cs shifted one step, so the aligned
+            # chunk IS the "previous state" plane for t in the chunk
             return [
                 pltpu.make_async_copy(
-                    gx_hbm.at[pl.ds(t0, chunk)], gx_buf.at[slot],
-                    sems.at[slot]),
-                # the wrapper passes ys/cs shifted one step, so the aligned
-                # chunk IS the "previous state" plane for t in the chunk
+                    ys_hbm.at[pl.ds(t0, chunk)], yprev_buf, sems.at[2]),
                 pltpu.make_async_copy(
-                    ys_hbm.at[pl.ds(t0, chunk)], yprev_buf.at[slot],
-                    sems.at[2 + slot]),
+                    cs_hbm.at[pl.ds(t0, chunk)], cprev_buf, sems.at[3]),
                 pltpu.make_async_copy(
-                    cs_hbm.at[pl.ds(t0, chunk)], cprev_buf.at[slot],
-                    sems.at[4 + slot]),
+                    cs_hbm.at[pl.ds(t0 + 1, chunk)], c_buf, sems.at[4]),
                 pltpu.make_async_copy(
-                    cs_hbm.at[pl.ds(t0 + 1, chunk)], c_buf.at[slot],
-                    sems.at[6 + slot]),
-                pltpu.make_async_copy(
-                    dy_hbm.at[pl.ds(t0, chunk)], dy_buf.at[slot],
-                    sems.at[8 + slot]),
+                    dy_hbm.at[pl.ds(t0, chunk)], dy_buf, sems.at[5]),
             ]
 
         def out_dma(slot, ci):
@@ -153,20 +153,22 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
         dh_scr[:] = jnp.zeros((b2, h), jnp.float32)
         dc_scr[:] = jnp.zeros((b2, h), jnp.float32)
 
-        for d in in_dmas((n_chunks - 1) % 2, n_chunks - 1):
-            d.start()
+        gx_dma((n_chunks - 1) % 2, n_chunks - 1).start()
 
         def chunk_body(rci, _):
             ci = n_chunks - 1 - rci
             slot = ci % 2
             nxt_ci = ci - 1
 
+            for d in small_dmas(ci):
+                d.start()
+
             @pl.when(nxt_ci >= 0)
             def _():
-                for d in in_dmas(nxt_ci % 2, nxt_ci):
-                    d.start()
+                gx_dma(nxt_ci % 2, nxt_ci).start()
 
-            for d in in_dmas(slot, ci):
+            gx_dma(slot, ci).wait()
+            for d in small_dmas(ci):
                 d.wait()
 
             @pl.when(rci >= 2)
@@ -176,9 +178,9 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
             def step(kk, carry):
                 k = chunk - 1 - kk  # reverse within chunk
                 dh, dc = carry
-                h_prev = yprev_buf[slot, k]
-                c_prev = cprev_buf[slot, k]
-                c_t = c_buf[slot, k]
+                h_prev = yprev_buf[k]
+                c_prev = cprev_buf[k]
+                c_t = c_buf[k]
                 # recompute gate activations (dots in the weights' dtype)
                 dd = wf_ref.dtype
                 hh_f = jnp.dot(h_prev[:b].astype(dd), wf_ref[:],
@@ -194,7 +196,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                 o = jax.nn.sigmoid(gates[:, 3 * h:])
                 tc = jnp.tanh(c_t)
 
-                dh_t = dy_buf[slot, k] + dh
+                dh_t = dy_buf[k] + dh
                 do = dh_t * tc
                 dct = dc + dh_t * o * (1.0 - tc * tc)
                 di = dct * g
@@ -303,15 +305,15 @@ def _bwd_pallas(gx, w_hh, ys_prev, cs_shift, dy, chunk, interpret):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gx
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # y_prev
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # c_prev
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # c_t
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # dy
-            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # dgx out
+            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gx (double)
+            pltpu.VMEM((chunk, b2, h), jnp.float32),  # y_prev (single)
+            pltpu.VMEM((chunk, b2, h), jnp.float32),  # c_prev (single)
+            pltpu.VMEM((chunk, b2, h), jnp.float32),  # c_t (single)
+            pltpu.VMEM((chunk, b2, h), jnp.float32),  # dy (single)
+            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # dgx out (double)
             pltpu.VMEM((b2, h), jnp.float32),  # dh carry
             pltpu.VMEM((b2, h), jnp.float32),  # dc carry
-            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -372,11 +374,21 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
 lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)
 
 
+def _bwd_auto_chunk(b2, h, w_bytes, budget=13 * 1024 * 1024):
+    """gx+dgx double-buffered (8H units), four single-buffered H streams."""
+    carries = 4 * b2 * h * 4
+    for c in (8, 4, 2, 1):
+        bytes_ = 2 * c * b2 * 8 * h * 4 + 4 * c * b2 * h * 4
+        if bytes_ + w_bytes + carries <= budget:
+            return c
+    return 1
+
+
 def lstm_bidir_train(
     x: jnp.ndarray,  # (T, B, F)
     w_ih: jnp.ndarray,  # (2, F, 4H)
     w_hh: jnp.ndarray,  # (2, H, 4H)
-    chunk: int = 4,
+    chunk: int | None = None,
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -393,8 +405,15 @@ def lstm_bidir_train(
     ).reshape(2, t, b, 4 * h)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)  # (T, 2B, 4H)
     # kernel weights stay fp32 (validated on v5e); bf16 dots are opt-in
+    h4 = 4 * h
+    w_bytes = 2 * h * h4 * 4
+    if chunk is None:
+        fwd_chunk = auto_chunk(2 * b, h, 6, weights_bytes=w_bytes)
+        bwd_chunk = _bwd_auto_chunk(2 * b, h, w_bytes)
+    else:
+        fwd_chunk, bwd_chunk = chunk, max(chunk // 2, 1)
     ys = lstm_scan_train(
-        gx, w_hh.astype(jnp.float32), chunk, max(chunk // 2, 2), interpret
+        gx, w_hh.astype(jnp.float32), fwd_chunk, bwd_chunk, interpret
     )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
