@@ -235,7 +235,20 @@ def rnn_layer_apply(
     new_state = dict(state)
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
-    if ("bwd" in params and pallas and cell == "lstm" and lengths is None):
+    use_pallas_here = (
+        "bwd" in params and pallas and cell == "lstm" and lengths is None
+    )
+    if use_pallas_here:
+        # compiled-kernel tiling constraints (Mosaic): the hidden size is the
+        # lane dimension of the streamed buffers (must tile to 128) and the
+        # stacked 2B batch is the sublane dimension (must tile to 8).
+        # Interpret mode (off-TPU) has no such limits — keep it for tests.
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() in ("tpu", "axon")
+        if on_tpu and (hidden_size % 128 != 0 or (2 * x.shape[1]) % 8 != 0):
+            use_pallas_here = False
+    if use_pallas_here:
         # fused Pallas scan: trainable kernel (custom VJP) in training,
         # lighter forward-only kernel at eval (ops/lstm_pallas*.py)
         w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
