@@ -236,8 +236,11 @@ def rnn_layer_apply(
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
     use_pallas_here = (
-        "bwd" in params and pallas and cell == "lstm" and lengths is None
+        "bwd" in params and pallas and cell in ("lstm", "gru")
+        and lengths is None
     )
+    if use_pallas_here and cell == "gru" and train:
+        use_pallas_here = False  # GRU kernel is eval-only (scan trains)
     if use_pallas_here:
         # compiled-kernel tiling constraints (Mosaic): the hidden size is the
         # lane dimension of the streamed buffers (must tile to 128) and the
@@ -249,11 +252,15 @@ def rnn_layer_apply(
         if on_tpu and (hidden_size % 128 != 0 or (2 * x.shape[1]) % 8 != 0):
             use_pallas_here = False
     if use_pallas_here:
-        # fused Pallas scan: trainable kernel (custom VJP) in training,
-        # lighter forward-only kernel at eval (ops/lstm_pallas*.py)
+        # fused Pallas scan: trainable LSTM kernel (custom VJP) in training,
+        # lighter forward-only kernels at eval (ops/{lstm,gru}_pallas*.py)
         w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
         w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
-        if train:
+        if cell == "gru":
+            from ctc_pytorch_tpu.ops.gru_pallas import gru_bidir_pallas
+
+            out = gru_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype)
+        elif train:
             from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_bidir_train
 
             out = lstm_bidir_train(x, w_ih, w_hh, compute_dtype=compute_dtype)
