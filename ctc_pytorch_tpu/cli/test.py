@@ -33,6 +33,12 @@ def evaluate(
 ) -> dict:
     vocab = Vocab(cfg.vocab_file)
     spec, params, mstate, manifest = model_from_package(package_path)
+    # use the fused Pallas kernels for inference when the hardware tiling
+    # allows (models/rnn.py guards and falls back to the scan otherwise)
+    import dataclasses
+
+    if spec.rnn_cell in ("lstm", "gru") and spec.bidirectional:
+        spec = dataclasses.replace(spec, use_pallas_rnn=True)
     test_ds = SpeechDataset(vocab, cfg.test_scp_path, cfg.test_lab_path, cfg)
     loader = SpeechDataLoader(
         test_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
