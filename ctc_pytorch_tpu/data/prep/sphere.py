@@ -66,15 +66,23 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     return samples, rate
 
 
-def read_audio(path: str | Path) -> np.ndarray:
-    """SPHERE or WAV -> float32 samples (Kaldi-style int16 range)."""
+def read_audio(path: str | Path, normalize: bool = False) -> np.ndarray:
+    """SPHERE or WAV -> float32 samples (Kaldi-style int16 range).
+
+    ``normalize=True`` reproduces ``tools.load_wave`` (``timit/utils/tools.py:
+    28-41``): per-utterance mean/std normalisation of the raw waveform.
+    """
     p = Path(path)
     head = p.open("rb").read(8)
     if head.startswith(b"NIST_1A"):
         samples, _ = read_sphere(p)
     else:
         samples, _ = read_wav(p)
-    return samples.astype(np.float32)
+    wav = samples.astype(np.float32)
+    if normalize:
+        std = wav.std()
+        wav = (wav - wav.mean()) / (std if std > 0 else 1.0)
+    return wav
 
 
 def write_wav(path: str | Path, samples: np.ndarray, rate: int = 16000) -> None:
