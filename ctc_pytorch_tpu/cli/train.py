@@ -57,7 +57,31 @@ def main(argv=None):
 
         if len(jax.devices()) > 1:
             mesh = make_mesh()
-    trainer = Trainer(cfg, spec, mesh=mesh)
+    frontend_fn = None
+    if cfg.feature_type == "waveform":
+        # waveform-in end-to-end: the frontend runs inside the train step
+        import numpy as _np
+
+        from ctc_pytorch_tpu.frontend.e2e import (
+            WaveFrontendSpec, build_frontend_fn,
+        )
+        from ctc_pytorch_tpu.frontend.features import FrontendConfig
+
+        n_mels = max(cfg.feature_dim - 1, 1)
+        fe = WaveFrontendSpec(
+            feat_type="fbank",
+            frontend=FrontendConfig(num_mel_bins=n_mels),
+            left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
+            n_skip_frame=cfg.n_skip_frame,
+        )
+        cmvn = None
+        cmvn_file = Path(cfg.data_dir) / "global_fbank_cmvn.npz"
+        if cmvn_file.exists():
+            z = _np.load(cmvn_file)
+            cmvn = (z["mean"], z["inv_std"])
+        frontend_fn = build_frontend_fn(fe, cmvn)
+
+    trainer = Trainer(cfg, spec, mesh=mesh, frontend_fn=frontend_fn)
     if args.resume:
         trainer.resume(args.resume)
     best = trainer.fit(train_loader, dev_loader, log=log)

@@ -113,6 +113,14 @@ class SpeechDataset:
         if self._cache is not None and self._cache[idx] is not None:
             return self._cache[idx]
         utt, rx, label = self.items[idx]
+        if self.feature_type == "waveform":
+            # raw samples as (S, 1) so batching pads them like features;
+            # splice/skip happen on-device inside the fused frontend
+            feat = self.raw_feature(idx).reshape(-1, 1).astype(np.float32)
+            out = (feat, np.asarray(label, np.int32), utt)
+            if self._cache is not None:
+                self._cache[idx] = out
+            return out
         feat = self.process_feature(self.raw_feature(idx))
         if getattr(self.opts, "mel", False):
             # F_Mel warping of the processed log spectrum (data_loader.py:111)
@@ -133,8 +141,11 @@ class SpeechDataset:
                     lens.append(self._cache[i][0].shape[0])
                 else:
                     t = self.raw_feature(i).shape[0]
-                    t = skipped_len(t, self.n_skip_frame)
-                    t = downsampled_len(t, self.n_downsample)
+                    if self.feature_type != "waveform":
+                        # sample counts stay raw; frame transforms happen
+                        # on-device for the waveform path
+                        t = skipped_len(t, self.n_skip_frame)
+                        t = downsampled_len(t, self.n_downsample)
                     lens.append(t)
             self._lengths = np.asarray(lens)
         return self._lengths
