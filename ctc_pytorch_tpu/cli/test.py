@@ -68,7 +68,9 @@ def evaluate(
         t_out = log_probs.shape[0]
         input_sizes = (batch.input_frac * t_out).astype(np.int32)
         if on_device_beam:
-            decoded = decoder.decode_on_device(log_probs, input_sizes)
+            decoded = decoder.decode_on_device(
+                log_probs, input_sizes, max_len=cfg.beam_max_len
+            )
         else:
             decoded = decoder.decode(np.asarray(log_probs), input_sizes)
         targets = [

@@ -156,6 +156,7 @@ class Config:
     test_lab_path: str = "data/test/phn_text"
     decode_type: str = "Greedy"
     beam_width: int = 10
+    beam_max_len: int = 96  # BeamDevice hypothesis capacity (tokens)
     lm_alpha: float = 0.1
     lm_path: str = "data/lm_phone_bg.arpa"
 

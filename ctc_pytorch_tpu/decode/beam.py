@@ -191,7 +191,14 @@ class BeamDecoder:
 
     def decode_on_device(self, log_probs, frame_seq_len,
                          max_len: int = 96) -> List[str]:
-        """Whole-batch decode in one jitted program (decode/beam_device.py)."""
+        """Whole-batch decode in one jitted program (decode/beam_device.py).
+
+        ``max_len`` is the fixed hypothesis capacity; when any decoded
+        hypothesis fills it, longer candidates may have been truncated and
+        a warning is emitted — raise ``beam_max_len`` in the config.
+        """
+        import logging
+
         import jax.numpy as jnp
 
         from ctc_pytorch_tpu.decode.beam_device import batched_beam_search
@@ -205,6 +212,12 @@ class BeamDecoder:
             lm_alpha=self.lm_alpha,
         )
         seqs, lens = np.asarray(seqs), np.asarray(lens)
+        if int(lens.max(initial=0)) >= max_len:
+            logging.getLogger(__name__).warning(
+                "BeamDevice: %d hypothesis(es) hit the max_len=%d capacity; "
+                "longer extensions were dropped — raise beam_max_len",
+                int((lens >= max_len).sum()), max_len,
+            )
         return [
             " ".join(self.int2char[int(l)] for l in seqs[i][: lens[i]])
             for i in range(seqs.shape[0])

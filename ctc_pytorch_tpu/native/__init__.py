@@ -8,12 +8,15 @@ falls back silently when no compiler is available — callers must check
 from __future__ import annotations
 
 import ctypes
+import logging
 import subprocess
 import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "ctc_native.cpp"
@@ -31,7 +34,13 @@ def _build() -> bool:
             check=True, capture_output=True, timeout=120,
         )
         return True
-    except (OSError, subprocess.SubprocessError):
+    except (OSError, subprocess.SubprocessError) as exc:
+        detail = getattr(exc, "stderr", b"") or b""
+        _log.warning(
+            "native ctc library build failed (%s); falling back to the "
+            "pure-python decoder paths. stderr: %s",
+            exc, detail.decode("utf-8", "replace")[:500],
+        )
         return False
 
 
@@ -46,7 +55,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:
+        except OSError as exc:
+            _log.warning(
+                "native ctc library failed to load (%s); falling back to "
+                "the pure-python decoder paths", exc,
+            )
             _build_failed = True
             return None
         lib.batch_edit_distance.argtypes = [

@@ -37,6 +37,7 @@ def _auto_interpret(interpret):
     return interpret
 
 from ctc_pytorch_tpu.ops.ctc_loss import NEG_INF, _extend_labels
+from ctc_pytorch_tpu.ops.lstm_pallas import VMEM_BUDGET
 
 
 def _lse3(a, b, c):
@@ -232,6 +233,18 @@ def _neg_ll_pallas_bwd(blank, interpret, res, g):
 _neg_ll_pallas.defvjp(_neg_ll_pallas_fwd, _neg_ll_pallas_bwd)
 
 
+def _pallas_fits_vmem(t_max: int, b: int, s: int,
+                      budget: int = VMEM_BUDGET) -> bool:
+    """Whether the alpha/beta kernels' VMEM residents fit the budget.
+
+    Each kernel holds ``emit`` (T,B,S) in + the (T,B,S) DP table out, plus
+    three small (B,S) operands, all fp32.  Shapes are static at trace time,
+    so this is a plain Python decision.
+    """
+    bytes_needed = (2 * t_max * b * s + 3 * b * s) * 4
+    return bytes_needed <= budget
+
+
 def ctc_loss_pallas(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
@@ -241,7 +254,17 @@ def ctc_loss_pallas(
     reduction: str = "sum_over_batch",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Drop-in for ``ops.ctc_loss`` backed by the Pallas DP kernels."""
+    """Drop-in for ``ops.ctc_loss`` backed by the Pallas DP kernels.
+
+    Shapes whose DP tables would overflow the VMEM budget automatically
+    take the lax.scan path (ops/ctc_loss.py) — same math, same VJP.
+    """
+    t_max, b, _ = log_probs.shape
+    s = 2 * labels.shape[1] + 1
+    if not _pallas_fits_vmem(t_max, b, s):
+        from ctc_pytorch_tpu.ops.ctc_loss import ctc_loss as _ctc_scan
+        return _ctc_scan(log_probs, labels, input_lengths, label_lengths,
+                         blank=blank, reduction=reduction)
     neg_ll = _neg_ll_pallas(
         log_probs, labels, input_lengths.astype(jnp.int32),
         label_lengths.astype(jnp.int32), blank, interpret,

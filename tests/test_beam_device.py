@@ -54,6 +54,74 @@ def test_device_beam_with_lm(tmp_path):
             np.testing.assert_allclose(scores[i], s_ref, rtol=1e-4)
 
 
+def _peaked_batch(seed, b, t, c, alpha):
+    """Low-entropy frames produce heavy prefix merging in the search."""
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.full(c, alpha), size=(b, t)).astype(np.float32)
+    lengths = rng.randint(max(t // 2, 1), t + 1, size=b).astype(np.int32)
+    return probs, lengths
+
+
+@pytest.mark.parametrize(
+    "seed,b,t,c,width,alpha",
+    [
+        # merge-heavy: tiny alphabet, peaked frames, many repeats
+        (0, 3, 60, 4, 16, 0.3),
+        (1, 3, 60, 4, 16, 0.3),
+        (2, 2, 80, 6, 24, 0.5),
+        (3, 2, 120, 8, 12, 0.2),
+        # wide-alphabet case
+        (4, 2, 50, 40, 8, 0.4),
+    ],
+)
+def test_device_beam_property_randomised(seed, b, t, c, width, alpha):
+    probs, lengths = _peaked_batch(seed, b, t, c, alpha)
+    seqs, lens, scores = batched_beam_search(
+        jnp.asarray(probs), jnp.asarray(lengths), beam_width=width,
+        max_len=t + 2,
+    )
+    seqs, lens, scores = map(np.asarray, (seqs, lens, scores))
+    for i in range(b):
+        y_ref, s_ref = ctc_beam_search(
+            probs[i], beam_width=width, length=int(lengths[i])
+        )
+        got = tuple(seqs[i][: lens[i]])
+        assert got == tuple(y_ref), (seed, i, got, y_ref)
+        np.testing.assert_allclose(scores[i], s_ref, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_device_beam_property_large():
+    """VERDICT-sized case: T=400, C=70, width=32."""
+    probs, lengths = _peaked_batch(11, 1, 400, 70, 0.15)
+    seqs, lens, scores = batched_beam_search(
+        jnp.asarray(probs), jnp.asarray(lengths), beam_width=32, max_len=402,
+    )
+    seqs, lens, scores = map(np.asarray, (seqs, lens, scores))
+    y_ref, s_ref = ctc_beam_search(
+        probs[0], beam_width=32, length=int(lengths[0])
+    )
+    assert tuple(seqs[0][: lens[0]]) == tuple(y_ref)
+    np.testing.assert_allclose(scores[0], s_ref, rtol=1e-4)
+
+
+def test_decode_on_device_truncation_warning(caplog):
+    import logging
+
+    from ctc_pytorch_tpu.decode.beam import BeamDecoder
+
+    int2char = {0: "blank", 1: "aa", 2: "bb"}
+    dec = BeamDecoder(int2char, beam_width=4)
+    # alternating strong labels force a hypothesis longer than max_len=2
+    probs = np.tile(
+        np.array([[0.05, 0.9, 0.05], [0.05, 0.05, 0.9]], np.float32), (4, 1)
+    )[None]  # (1, 8, 3)
+    log_probs = np.log(probs).transpose(1, 0, 2)  # (T, B, C)
+    with caplog.at_level(logging.WARNING):
+        dec.decode_on_device(log_probs, np.asarray([8]), max_len=2)
+    assert any("max_len" in r.message for r in caplog.records)
+
+
 def test_device_beam_blank_skip_and_fixture():
     # 863 fixture: blank is the LAST class there; ours expects blank arg
     mat = np.array([[[0.4, 0.0, 0.6], [0.4, 0.0, 0.6]]], np.float32)

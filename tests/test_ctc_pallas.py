@@ -41,6 +41,26 @@ def test_pallas_grad_matches_scan():
     np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_vmem_overflow_falls_back_to_scan(monkeypatch):
+    """Shapes too big for VMEM must silently take the scan path."""
+    import ctc_pytorch_tpu.ops.ctc_pallas as cp
+
+    assert not cp._pallas_fits_vmem(t_max=2000, b=256, s=201)
+    assert cp._pallas_fits_vmem(t_max=160, b=64, s=97)
+
+    def _boom(*a, **k):  # the kernels must never be entered
+        raise AssertionError("pallas path used for an over-budget shape")
+
+    monkeypatch.setattr(cp, "_neg_ll_pallas", _boom)
+    # force the decision with a tiny budget so the test stays fast
+    monkeypatch.setattr(cp, "_pallas_fits_vmem", lambda *a, **k: False)
+    lp, labels, il, ll = _case(7)
+    ref = ctc_loss(lp, labels, il, ll, reduction="none")
+    got = ctc_loss_pallas(lp, labels, il, ll, reduction="none",
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
 def test_pallas_empty_label_and_short_input():
     t, b, c = 6, 2, 4
     lp = jax.nn.log_softmax(
