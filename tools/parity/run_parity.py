@@ -1,0 +1,294 @@
+"""End-to-end PER-parity harness: the torch reference vs this framework.
+
+Runs the reference's OWN entrypoints (``timit/steps/train_ctc.py`` /
+``test_ctc.py``) unmodified, via subprocess with dependency shims
+(kaldiio/editdistance/visdom) on PYTHONPATH, and this framework's CLI on
+the SAME on-disk corpus (tools/parity/gen_corpus.py artifacts), then:
+
+  1. compares dev/test PER (reference target: |delta| <= 0.3 abs),
+  2. imports the reference's trained checkpoint (cli/import_torch) and
+     asserts greedy-decode string equality utterance-by-utterance through
+     the full splice->model->length-rescale->decode chain (CPU, fp32).
+
+Usage:  python tools/parity/run_parity.py WORKDIR [--small] [--report OUT.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+REF = Path("/root/reference/timit")
+SHIMS = REPO / "tools" / "parity" / "shims"
+
+CNN_KEYS = """\
+add_cnn: False
+layers: 2
+channel: "[(1, 32), (32, 32)]"
+kernel_size: "[(3, 3), (3, 3)]"
+stride: "[(1, 2), (2, 2)]"
+padding: "[(1, 1), (1, 1)]"
+pooling: "None"
+activation_function: "relu"
+"""
+
+
+def base_conf(data: Path, ckpt: Path, exp: str, hp: dict, test_split: str) -> str:
+    return f"""\
+exp_name: '{exp}'
+checkpoint_dir: '{ckpt}'
+use_gpu: False
+vocab_file: '{data}/units'
+train_scp_path: '{data}/train/fbank.scp'
+train_lab_path: '{data}/train/phn_text'
+valid_scp_path: '{data}/dev/fbank.scp'
+valid_lab_path: '{data}/dev/phn_text'
+test_scp_path: '{data}/{test_split}/fbank.scp'
+test_lab_path: '{data}/{test_split}/phn_text'
+left_ctx: 1
+right_ctx: 1
+n_skip_frame: 1
+n_downsample: 2
+num_workers: 0
+shuffle_train: True
+feature_dim: {hp['dim']}
+output_class_dim: {hp['n_phones']}
+mel: False
+feature_type: "fbank"
+rnn_input_size: {hp['dim'] * 3}
+rnn_hidden_size: {hp['hidden']}
+rnn_layers: {hp['layers']}
+rnn_type: "nn.LSTM"
+bidirectional: True
+batch_norm: True
+drop_out: 0.0
+{CNN_KEYS}
+init_lr: {hp['lr']}
+num_epoches: {hp['epochs']}
+end_adjust_acc: {hp['band']}
+lr_decay: 0.5
+batch_size: {hp['batch']}
+weight_decay: 0.0005
+seed: 1
+verbose_step: 1000
+decode_type: "Greedy"
+beam_width: 10
+lm_alpha: 0.1
+lm_path: '{data}/lm_phone_bg.arpa'
+"""
+
+
+OURS_EXTRA = """\
+num_buckets: 4
+dtype: "float32"
+ctc_impl: "scan"
+"""
+
+
+def run(cmd, *, cwd=None, env=None, log_to=None, check=True):
+    t0 = time.time()
+    print(f"+ {' '.join(map(str, cmd))}", flush=True)
+    r = subprocess.run(
+        [str(c) for c in cmd], cwd=cwd, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    if log_to:
+        Path(log_to).write_text(r.stdout)
+    print(f"  -> rc={r.returncode} in {time.time() - t0:.0f}s", flush=True)
+    if check and r.returncode != 0:
+        print(r.stdout[-4000:])
+        raise RuntimeError(f"command failed: {cmd}")
+    return r.stdout
+
+
+def _pythonpath(*parts):
+    """Prepend to PYTHONPATH, preserving the image's entries (the axon TPU
+    plugin registers via /root/.axon_site on PYTHONPATH)."""
+    old = os.environ.get("PYTHONPATH", "")
+    return ":".join([str(p) for p in parts] + ([old] if old else []))
+
+
+def ref_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _pythonpath(SHIMS, REPO)
+    env["TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD"] = "1"
+    env.setdefault("OMP_NUM_THREADS", "1")
+    # keep jax (imported transitively by the kaldiio shim) off the TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def parse_wer(text: str) -> float:
+    m = re.findall(r"[Ww]ord error rate on test set:\s*([0-9.]+)", text)
+    if not m:
+        raise RuntimeError("no WER line found")
+    return float(m[-1])
+
+
+def parse_decodes(text: str) -> list:
+    """decoded strings in print order (reference and ours print the same)."""
+    return [l.split(":", 1)[1].strip()
+            for l in text.splitlines() if l.startswith("decoded")]
+
+
+def scp_utts(scp: Path) -> list:
+    return [l.split()[0] for l in scp.read_text().splitlines() if l.strip()]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced pilot corpus/model (CI-sized)")
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--skip-ref-train", action="store_true",
+                    help="reuse an existing reference checkpoint")
+    args = ap.parse_args(argv)
+
+    wd = Path(args.workdir).resolve()
+    data = wd / "data"
+    ckpt = wd / "ckpt"
+    wd.mkdir(parents=True, exist_ok=True)
+
+    if args.small:
+        corpus = dict(n_train=80, n_dev=24, n_test=24, n_phones=12, dim=20,
+                      min_phones=4, max_phones=10)
+        hp = dict(dim=20, n_phones=12, hidden=32, layers=1, lr=4e-3,
+                  epochs=8, band=2, batch=8)
+    else:
+        corpus = dict(n_train=600, n_dev=100, n_test=100, n_phones=40, dim=40)
+        hp = dict(dim=40, n_phones=40, hidden=128, layers=2, lr=1e-3,
+                  epochs=30, band=2, batch=8)
+
+    # ---- shared corpus ----------------------------------------------------
+    if not (data / "units").exists():
+        from tools.parity.gen_corpus import generate
+
+        counts = generate(data, **corpus)
+        print("corpus:", counts, flush=True)
+
+    # ---- confs -------------------------------------------------------------
+    confs = {}
+    for side in ("ref", "ours"):
+        for split in ("dev", "test"):
+            text = base_conf(data, ckpt, side, hp, split)
+            if side == "ours":
+                text += OURS_EXTRA
+            p = wd / f"conf_{side}_{split}.yaml"
+            p.write_text(text)
+            confs[(side, split)] = p
+
+    results = {}
+
+    # ---- reference: train + score dev/test ---------------------------------
+    ref_ckpt = ckpt / "ref" / "ctc_best_model.pkl"
+    if not (args.skip_ref_train and ref_ckpt.exists()):
+        run([sys.executable, "steps/train_ctc.py", "--conf",
+             confs[("ref", "test")]], cwd=REF, env=ref_env(),
+            log_to=wd / "ref_train.log")
+    for split in ("dev", "test"):
+        out = run([sys.executable, "steps/test_ctc.py", "--conf",
+                   confs[("ref", split)]], cwd=REF, env=ref_env(),
+                  log_to=wd / f"ref_test_{split}.log")
+        results[f"ref_per_{split}"] = parse_wer(out)
+
+    # ---- ours: train + score dev/test --------------------------------------
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _pythonpath(REPO)
+    run([sys.executable, "-m", "ctc_pytorch_tpu.cli.train", "--conf",
+         confs[("ours", "test")]], cwd=REPO, env=env,
+        log_to=wd / "ours_train.log")
+    for split in ("dev", "test"):
+        out = run([sys.executable, "-m", "ctc_pytorch_tpu.cli.test", "--conf",
+                   confs[("ours", split)]], cwd=REPO, env=env,
+                  log_to=wd / f"ours_test_{split}.log")
+        results[f"ours_per_{split}"] = parse_wer(out)
+
+    # ---- greedy bit-equality on imported reference weights -----------------
+    imported = wd / "imported.npz"
+    run([sys.executable, "-m", "ctc_pytorch_tpu.cli.import_torch",
+         ckpt / "ref" / "ctc_best_model.pkl", imported], cwd=REPO, env=env)
+    eq = {}
+    for split in ("dev", "test"):
+        ref_dec = parse_decodes((wd / f"ref_test_{split}.log").read_text())
+        out = run(
+            [sys.executable, "-c",
+             "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
+             "jax.config.update('jax_default_matmul_precision', 'highest');"
+             "from ctc_pytorch_tpu.config import load_config;"
+             "from ctc_pytorch_tpu.cli.test import evaluate;"
+             f"cfg = load_config(r'{confs[('ours', split)]}');"
+             f"evaluate(cfg, r'{imported}', verbose=True)"],
+            cwd=REPO, env=env, log_to=wd / f"imported_test_{split}.log")
+        our_dec = parse_decodes(out)
+        # ours prints utt ids; align by scp order for the reference side
+        utts = scp_utts(data / split / "fbank.scp")
+        our_utts = [l.strip() for l in out.splitlines()
+                    if re.fullmatch(r"(train|dev|test)\d+", l.strip())]
+        ref_map = dict(zip(utts, ref_dec))
+        our_map = dict(zip(our_utts, our_dec))
+        assert set(ref_map) == set(our_map), "utterance sets differ"
+        n_eq = sum(ref_map[u] == our_map[u] for u in ref_map)
+        eq[split] = (n_eq, len(ref_map))
+        results[f"greedy_eq_{split}"] = f"{n_eq}/{len(ref_map)}"
+        results[f"imported_per_{split}"] = parse_wer(out)
+
+    results["delta_dev"] = round(
+        results["ours_per_dev"] - results["ref_per_dev"], 4)
+    results["delta_test"] = round(
+        results["ours_per_test"] - results["ref_per_test"], 4)
+    print(json.dumps(results, indent=2))
+    (wd / "results.json").write_text(json.dumps(results, indent=2))
+
+    if args.report:
+        frac = {s: f"{a}/{b} ({100.0 * a / b:.1f}%)" for s, (a, b) in eq.items()}
+        Path(args.report).write_text(REPORT_TMPL.format(
+            hp=json.dumps(hp), corpus=json.dumps(corpus), **results,
+            eq_dev=frac["dev"], eq_test=frac["test"],
+        ))
+        print("report ->", args.report)
+    return results
+
+
+REPORT_TMPL = """\
+# PARITY_RUN — measured reference-vs-framework numbers
+
+Harness: `tools/parity/run_parity.py` (reference entrypoints run unmodified
+via dependency shims; shared binary-ark corpus from `tools/parity/gen_corpus.py`).
+
+Corpus: {corpus}
+Hyperparams (both sides): {hp}
+
+## Dev/test PER (trained independently, same data + recipe)
+
+| | reference (torch) | this framework | delta |
+|---|---|---|---|
+| dev PER % | {ref_per_dev} | {ours_per_dev} | {delta_dev} |
+| test PER % | {ref_per_test} | {ours_per_test} | {delta_test} |
+
+North-star target (BASELINE.md): |delta dev PER| <= 0.3 abs.
+
+## Greedy bit-equality on the reference's own weights
+
+Reference checkpoint imported with `cli/import_torch.py`; full chain
+(splice -> model -> fractional length rescale -> greedy collapse) decoded
+by both frameworks on CPU fp32:
+
+| split | identical decoded strings | PER ours-on-imported vs reference |
+|---|---|---|
+| dev | {eq_dev} | {imported_per_dev} vs {ref_per_dev} |
+| test | {eq_test} | {imported_per_test} vs {ref_per_test} |
+"""
+
+
+if __name__ == "__main__":
+    main()
