@@ -149,6 +149,10 @@ class Config:
     save_every: int = 0  # periodic durable checkpoint cadence (epochs); 0 = off
     remat: bool = False  # jax.checkpoint each RNN layer (memory for FLOPs)
     ctc_impl: str = "scan"  # 'scan' | 'pallas' CTC loss backend
+    # fused Pallas RNN kernels for train+eval when the Mosaic tiling limits
+    # allow (H % 128, 2B % 8 on real TPU); models/rnn.py silently falls back
+    # to the lax.scan path otherwise
+    use_pallas_rnn: bool = True
     profile: bool = False  # jax.profiler trace of the first training epoch
 
     # test

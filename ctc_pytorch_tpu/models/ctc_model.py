@@ -66,6 +66,7 @@ class ModelSpec:
             num_class=num_class,
             drop_out=cfg.drop_out,
             compute_dtype=cfg.dtype,
+            use_pallas_rnn=cfg.use_pallas_rnn,
             remat=cfg.remat,
         )
 

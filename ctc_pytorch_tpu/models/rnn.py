@@ -239,24 +239,28 @@ def rnn_layer_apply(
         "bwd" in params and pallas and cell in ("lstm", "gru")
         and lengths is None
     )
-    if use_pallas_here and cell == "gru" and train:
-        use_pallas_here = False  # GRU kernel is eval-only (scan trains)
     if use_pallas_here:
         # compiled-kernel tiling constraints (Mosaic): the hidden size is the
         # lane dimension of the streamed buffers (must tile to 128) and the
         # stacked 2B batch is the sublane dimension (must tile to 8).
-        # Interpret mode (off-TPU) has no such limits — keep it for tests.
+        # Off-TPU the kernels would run the (slow) interpreter, so the scan
+        # path — same math, golden-tested — serves instead; interpret mode
+        # stays a unit-test tool, not a production fallback.
         import jax as _jax
 
         on_tpu = _jax.default_backend() in ("tpu", "axon")
-        if on_tpu and (hidden_size % 128 != 0 or (2 * x.shape[1]) % 8 != 0):
+        if not on_tpu or hidden_size % 128 != 0 or (2 * x.shape[1]) % 8 != 0:
             use_pallas_here = False
     if use_pallas_here:
         # fused Pallas scan: trainable LSTM kernel (custom VJP) in training,
         # lighter forward-only kernels at eval (ops/{lstm,gru}_pallas*.py)
         w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
         w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
-        if cell == "gru":
+        if cell == "gru" and train:
+            from ctc_pytorch_tpu.ops.gru_pallas_train import gru_bidir_train
+
+            out = gru_bidir_train(x, w_ih, w_hh, compute_dtype=compute_dtype)
+        elif cell == "gru":
             from ctc_pytorch_tpu.ops.gru_pallas import gru_bidir_pallas
 
             out = gru_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype)

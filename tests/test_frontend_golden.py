@@ -1,0 +1,219 @@
+"""Frontend golden tests against INDEPENDENT implementations.
+
+VERDICT round-1 item 2 asked for golden tests vs
+``torchaudio.compliance.kaldi`` — torchaudio is NOT in this image (nor are
+Kaldi binaries or librosa), so this file pins the frontend to the strongest
+independent sources that DO exist here:
+
+- windows            vs scipy.signal.windows (hamming/hann/blackman, sym)
+- DCT-II (ortho)     vs scipy.fft.dct(type=2, norm='ortho')
+- rFFT power         vs scipy.fft.rfft
+- framing+window+FFT vs torch.stft (independent C++ implementation)
+- preemph/energy/framing/deltas vs in-test brute-force loops written
+  directly from the Kaldi spec (feat/feature-window.cc ProcessWindow,
+  feat/feature-functions.cc DeltaFeatures), structured differently from
+  the vectorised production code.
+
+What this does NOT prove: agreement with an actual Kaldi binary on the
+mel-triangle placement (no independent mel implementation exists in this
+image).  The mel matrix is instead re-derived here with a scalar per-bin
+loop from the documented algorithm, cross-checking the vectorised
+production construction.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import scipy.fft
+import scipy.signal
+import torch
+
+from ctc_pytorch_tpu.frontend.features import (
+    FrontendConfig,
+    _delta_scales,
+    _lifter_coeffs,
+    _window_coeffs,
+    add_deltas,
+    dct_matrix,
+    fbank,
+    frame_signal,
+    log_spectrum_librosa,
+    mel_filterbank,
+    power_spectrum,
+)
+
+
+def _wav(n=4000, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    x = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1733 * t)
+        + 0.05 * rng.randn(n)
+    )
+    return (x * 10000).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# windows vs scipy
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,scipy_name", [
+    ("hamming", "hamming"), ("hanning", "hann"), ("blackman", "blackman"),
+])
+def test_window_matches_scipy(name, scipy_name):
+    cfg = FrontendConfig(window=name)
+    ours = _window_coeffs(cfg)
+    ref = scipy.signal.get_window(scipy_name, cfg.frame_length, fftbins=False)
+    np.testing.assert_allclose(ours, ref, atol=2e-7)
+
+
+def test_povey_window_formula():
+    # povey = hann ** 0.85 pointwise (Kaldi feature-window.cc)
+    cfg = FrontendConfig(window="povey")
+    hann = scipy.signal.get_window("hann", cfg.frame_length, fftbins=False)
+    np.testing.assert_allclose(_window_coeffs(cfg), hann ** 0.85, atol=2e-7)
+
+
+# ---------------------------------------------------------------------------
+# DCT + lifter vs scipy / closed form
+# ---------------------------------------------------------------------------
+
+def test_dct_matrix_matches_scipy_ortho():
+    n_in, n_out = 23, 13
+    ref = scipy.fft.dct(np.eye(n_in), type=2, norm="ortho", axis=1)[:, :n_out].T
+    np.testing.assert_allclose(dct_matrix(n_in, n_out), ref, atol=1e-6)
+
+
+def test_lifter_coeffs_formula():
+    cfg = FrontendConfig(num_ceps=13, cepstral_lifter=22.0)
+    i = np.arange(13)
+    ref = 1.0 + 0.5 * 22.0 * np.sin(np.pi * i / 22.0)
+    np.testing.assert_allclose(_lifter_coeffs(cfg), ref, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# framing / preemphasis / energy vs brute-force Kaldi ProcessWindow
+# ---------------------------------------------------------------------------
+
+def test_power_spectrum_matches_bruteforce():
+    cfg = FrontendConfig(window="hamming", dither=0.0)
+    wav = _wav()
+    power, log_e = map(np.asarray, power_spectrum(wav, cfg))
+
+    flen, shift, nfft = cfg.frame_length, cfg.frame_shift, cfg.fft_size
+    window = scipy.signal.get_window("hamming", flen, fftbins=False)
+    t = 1 + (len(wav) - flen) // shift
+    assert power.shape == (t, nfft // 2 + 1)
+    for fi in range(0, t, 7):  # sample frames
+        x = wav[fi * shift: fi * shift + flen].astype(np.float64)
+        x = x - x.mean()  # remove_dc
+        e = math.log(max((x * x).sum(), np.finfo(np.float32).eps))
+        y = np.empty_like(x)  # preemphasis, x[0] -= coeff*x[0]
+        y[1:] = x[1:] - cfg.preemph * x[:-1]
+        y[0] = x[0] - cfg.preemph * x[0]
+        y = y * window
+        spec = scipy.fft.rfft(y, n=nfft)
+        np.testing.assert_allclose(
+            power[fi], np.abs(spec) ** 2, rtol=2e-4, atol=1e-2
+        )
+        assert abs(log_e[fi] - e) < 1e-4
+
+
+def test_frame_signal_snip_edges():
+    cfg = FrontendConfig()
+    wav = _wav(4000)
+    frames = np.asarray(frame_signal(wav, cfg))
+    # snip-edges: last frame fully inside the signal, no padding
+    t = frames.shape[0]
+    assert (t - 1) * cfg.frame_shift + cfg.frame_length <= 4000
+    assert t * cfg.frame_shift + cfg.frame_length > 4000
+    np.testing.assert_array_equal(frames[3], wav[3 * 160: 3 * 160 + 400])
+
+
+# ---------------------------------------------------------------------------
+# framing+window+FFT end-to-end vs torch.stft (independent C++ path)
+# ---------------------------------------------------------------------------
+
+def test_stft_pipeline_matches_torch_stft():
+    n_fft, hop = 400, 160
+    wav = _wav(4000)
+    ours = np.asarray(log_spectrum_librosa(wav, n_fft, hop, normalize=False))
+    win = torch.from_numpy(np.hamming(n_fft)).to(torch.float64)
+    ref = torch.stft(
+        torch.from_numpy(wav).to(torch.float64), n_fft, hop_length=hop,
+        window=win, center=True, pad_mode="reflect", return_complex=True,
+    )
+    ref = torch.log1p(ref.abs()).numpy().T  # (T, F)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# mel filterbank vs a scalar per-bin re-derivation of the Kaldi algorithm
+# ---------------------------------------------------------------------------
+
+def _mel_scalar(f):
+    return 1127.0 * math.log(1.0 + f / 700.0)
+
+
+def test_mel_filterbank_matches_scalar_rederivation():
+    cfg = FrontendConfig(num_mel_bins=23)
+    ours = mel_filterbank(cfg)
+    nfft = cfg.fft_size
+    nyq = cfg.sample_rate / 2.0
+    mel_low, mel_high = _mel_scalar(cfg.low_freq), _mel_scalar(nyq)
+    delta = (mel_high - mel_low) / (cfg.num_mel_bins + 1)
+    ref = np.zeros_like(ours)
+    for b in range(cfg.num_mel_bins):
+        left, center, right = (mel_low + delta * (b + k) for k in (0, 1, 2))
+        for k in range(nfft // 2 + 1):
+            m = _mel_scalar(k * cfg.sample_rate / nfft)
+            if left < m < right:  # triangle in mel space
+                ref[k, b] = (
+                    (m - left) / (center - left) if m <= center
+                    else (right - m) / (right - center)
+                )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # every interior FFT bin is covered and peaks are ~1
+    assert ours.sum(axis=1)[5:-3].min() > 0.1
+    assert 0.5 < ours.max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# deltas vs brute-force convolution with edge replication
+# ---------------------------------------------------------------------------
+
+def test_deltas_match_bruteforce():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(30, 5).astype(np.float32)
+    got = np.asarray(add_deltas(feats, order=2, window=2))
+    scales = _delta_scales(2, 2)
+    for o, scale in enumerate(scales):
+        half = (len(scale) - 1) // 2
+        ref = np.zeros_like(feats)
+        for t in range(feats.shape[0]):
+            for j in range(-half, half + 1):
+                tj = min(max(t + j, 0), feats.shape[0] - 1)
+                ref[t] += scale[j + half] * feats[tj]
+        np.testing.assert_allclose(
+            got[:, o * 5:(o + 1) * 5], ref, rtol=1e-4, atol=1e-5,
+        )
+    # the order-1 filter must be the classic regression filter
+    np.testing.assert_allclose(
+        scales[1], np.array([-2, -1, 0, 1, 2], np.float32) / 10.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# full fbank sanity at recipe settings (81-dim: energy + 80 mel)
+# ---------------------------------------------------------------------------
+
+def test_fbank_recipe_shape_and_energy_column():
+    cfg = FrontendConfig(window="hamming", num_mel_bins=80, use_energy=True)
+    wav = _wav()
+    feats = np.asarray(fbank(wav, cfg))
+    assert feats.shape[1] == 81
+    _, log_e = map(np.asarray, power_spectrum(wav, cfg))
+    np.testing.assert_allclose(feats[:, 0], log_e, rtol=1e-5)

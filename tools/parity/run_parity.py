@@ -150,6 +150,8 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true",
                     help="reduced pilot corpus/model (CI-sized)")
     ap.add_argument("--report", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run our framework's stages on CPU (hermetic CI)")
     ap.add_argument("--skip-ref-train", action="store_true",
                     help="reuse an existing reference checkpoint")
     args = ap.parse_args(argv)
@@ -204,6 +206,8 @@ def main(argv=None):
     # ---- ours: train + score dev/test --------------------------------------
     env = dict(os.environ)
     env["PYTHONPATH"] = _pythonpath(REPO)
+    if args.cpu:
+        env["JAX_PLATFORMS"] = "cpu"
     run([sys.executable, "-m", "ctc_pytorch_tpu.cli.train", "--conf",
          confs[("ours", "test")]], cwd=REPO, env=env,
         log_to=wd / "ours_train.log")
