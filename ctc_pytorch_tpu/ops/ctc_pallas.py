@@ -36,7 +36,7 @@ def _auto_interpret(interpret):
         return jax.default_backend() not in ("tpu", "axon")
     return interpret
 
-from ctc_pytorch_tpu.ops.ctc_loss import NEG_INF, _extend_labels
+from ctc_pytorch_tpu.ops.ctc_loss import NEG_INF, _emit_scores, _extend_labels
 from ctc_pytorch_tpu.ops.lstm_pallas import VMEM_BUDGET
 
 
@@ -168,9 +168,7 @@ def _prepare(log_probs, labels, blank):
     skip_ok = (ext != ext_prev2) & (jnp.arange(s)[None, :] % 2 == 1)
     skip_in = jnp.where(skip_ok, 0.0, NEG_INF)
     skip_out = jnp.pad(skip_in, ((0, 0), (0, 2)))[:, 2:]
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[None, :, :], (t_max, b, s)), axis=2
-    )
+    emit = _emit_scores(log_probs, ext)
     return ext, emit, skip_in, skip_out
 
 

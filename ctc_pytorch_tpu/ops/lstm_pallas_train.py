@@ -6,11 +6,14 @@ Extends ops/lstm_pallas.py to the training path via ``jax.custom_vjp``:
   ``ys`` and cell states ``cs`` (the only residuals; gates are recomputed
   in the backward from gx + ys, one extra MXU matmul per step — cheaper
   than streaming 4 gate planes);
-- **backward** walks time in reverse with (dh, dc) carried in VMEM,
-  recomputes the gate activations, forms ``dpre`` (the gradient at the
-  pre-activations == d gx), streams it out, and backpropagates
-  ``dh_{t-1}`` through the recurrent weights with a transposed-contraction
-  dot (no weight-transpose buffer);
+- **backward** walks time in reverse with (dh, dc) carried in VMEM.  The
+  gate pre-activations ``gates = gx + h_prev @ W_hh`` are recomputed
+  OUTSIDE the kernel as one large batched matmul (every h_prev is in the
+  residuals, so nothing forces that dot to be sequential) and streamed in
+  place of gx; the kernel forms the activations, ``dpre`` (== d gx),
+  streams it out, and backpropagates ``dh_{t-1}`` through the recurrent
+  weights with a transposed-contraction dot — ONE sequential MXU dot per
+  step instead of two;
 - ``dW_hh`` is NOT accumulated in the kernel: it is one large XLA matmul
   over the emitted ``dgx`` and the shifted ``ys`` (keeps the kernel's VMEM
   at ~14 MB: gx/dgx double-buffers at chunk=2, four small streams, fp32
@@ -118,30 +121,34 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
     n_chunks = t_max // chunk
     b = b2 // 2
 
-    def kernel(gx_hbm, wf_ref, wb_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm,
-               gx_buf, yprev_buf, cprev_buf, c_buf, dy_buf, dgx_buf,
+    def kernel(gates_hbm, wf_ref, wb_ref, cs_hbm, dy_hbm, dgx_hbm,
+               gates_buf, cprev_buf, c_buf, dy_buf, dgx_buf,
                dh_scr, dc_scr, sems, out_sems):
-        # gx double-buffered (sems 0-1); the four small state/grad streams
-        # are single-buffered (sems 2-5) — they are tiny next to gx/dgx and
-        # waited immediately, trading overlap for ~6 MB of VMEM
-        def gx_dma(slot, ci):
+        # gates double-buffered (sems 0-1); the three small state/grad
+        # streams are single-buffered (sems 2-4) — they are tiny next to
+        # gates/dgx and waited immediately, trading overlap for VMEM.
+        # ``gates`` = gx + h_prev @ W_hh is precomputed OUTSIDE the kernel:
+        # unlike the forward, the backward knows every h_prev from the
+        # residuals, so that matmul runs as ONE large MXU-efficient XLA dot
+        # instead of T sequential per-step dots — this halves the kernel's
+        # serial MXU work (measured 5.4 ms -> 3.2 ms per layer at the
+        # flagship backward shape on v5e).
+        def gates_dma(slot, ci):
             return pltpu.make_async_copy(
-                gx_hbm.at[pl.ds(ci * chunk, chunk)], gx_buf.at[slot],
+                gates_hbm.at[pl.ds(ci * chunk, chunk)], gates_buf.at[slot],
                 sems.at[slot])
 
         def small_dmas(ci):
             t0 = ci * chunk
-            # the wrapper passes ys/cs shifted one step, so the aligned
-            # chunk IS the "previous state" plane for t in the chunk
+            # the wrapper passes cs shifted one step, so the aligned chunk
+            # IS the "previous state" plane for t in the chunk
             return [
                 pltpu.make_async_copy(
-                    ys_hbm.at[pl.ds(t0, chunk)], yprev_buf, sems.at[2]),
+                    cs_hbm.at[pl.ds(t0, chunk)], cprev_buf, sems.at[2]),
                 pltpu.make_async_copy(
-                    cs_hbm.at[pl.ds(t0, chunk)], cprev_buf, sems.at[3]),
+                    cs_hbm.at[pl.ds(t0 + 1, chunk)], c_buf, sems.at[3]),
                 pltpu.make_async_copy(
-                    cs_hbm.at[pl.ds(t0 + 1, chunk)], c_buf, sems.at[4]),
-                pltpu.make_async_copy(
-                    dy_hbm.at[pl.ds(t0, chunk)], dy_buf, sems.at[5]),
+                    dy_hbm.at[pl.ds(t0, chunk)], dy_buf, sems.at[4]),
             ]
 
         def out_dma(slot, ci):
@@ -153,7 +160,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
         dh_scr[:] = jnp.zeros((b2, h), jnp.float32)
         dc_scr[:] = jnp.zeros((b2, h), jnp.float32)
 
-        gx_dma((n_chunks - 1) % 2, n_chunks - 1).start()
+        gates_dma((n_chunks - 1) % 2, n_chunks - 1).start()
 
         def chunk_body(rci, _):
             ci = n_chunks - 1 - rci
@@ -165,9 +172,9 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             @pl.when(nxt_ci >= 0)
             def _():
-                gx_dma(nxt_ci % 2, nxt_ci).start()
+                gates_dma(nxt_ci % 2, nxt_ci).start()
 
-            gx_dma(slot, ci).wait()
+            gates_dma(slot, ci).wait()
             for d in small_dmas(ci):
                 d.wait()
 
@@ -178,18 +185,10 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
             def step(kk, carry):
                 k = chunk - 1 - kk  # reverse within chunk
                 dh, dc = carry
-                h_prev = yprev_buf[k]
                 c_prev = cprev_buf[k]
                 c_t = c_buf[k]
-                # recompute gate activations (dots in the weights' dtype)
                 dd = wf_ref.dtype
-                hh_f = jnp.dot(h_prev[:b].astype(dd), wf_ref[:],
-                               preferred_element_type=jnp.float32)
-                hh_b = jnp.dot(h_prev[b:].astype(dd), wb_ref[:],
-                               preferred_element_type=jnp.float32)
-                gates = gx_buf[slot, k] + jnp.concatenate(
-                    [hh_f, hh_b], axis=0
-                )
+                gates = gates_buf[slot, k]
                 i = jax.nn.sigmoid(gates[:, :h])
                 f = jax.nn.sigmoid(gates[:, h:2 * h])
                 g = jnp.tanh(gates[:, 2 * h:3 * h])
@@ -288,43 +287,41 @@ def _fwd_pallas(gx, w_hh, chunk, interpret):
     return ys, cs
 
 
-def _bwd_pallas(gx, w_hh, ys_prev, cs_shift, dy, chunk, interpret):
-    t_pad, b2, h4 = gx.shape
+def _bwd_pallas(gates, w_hh, cs_shift, dy, chunk, interpret):
+    t_pad, b2, h4 = gates.shape
     h = h4 // 4
     kernel = _make_bwd_kernel(chunk, t_pad, b2, h)
     dgx = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((t_pad, b2, h4), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # gx
+            pl.BlockSpec(memory_space=pl.ANY),  # gates
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wf
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wb
-            pl.BlockSpec(memory_space=pl.ANY),  # ys_prev
             pl.BlockSpec(memory_space=pl.ANY),  # cs_shift
             pl.BlockSpec(memory_space=pl.ANY),  # dy
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gx (double)
-            pltpu.VMEM((chunk, b2, h), jnp.float32),  # y_prev (single)
+            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gates (double)
             pltpu.VMEM((chunk, b2, h), jnp.float32),  # c_prev (single)
             pltpu.VMEM((chunk, b2, h), jnp.float32),  # c_t (single)
             pltpu.VMEM((chunk, b2, h), jnp.float32),  # dy (single)
             pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # dgx out (double)
             pltpu.VMEM((b2, h), jnp.float32),  # dh carry
             pltpu.VMEM((b2, h), jnp.float32),  # dc carry
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx, w_hh[0], w_hh[1], ys_prev, cs_shift, dy)
+    )(gates, w_hh[0], w_hh[1], cs_shift, dy)
     return dgx
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def lstm_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, bwd_split: bool = False):
     ys, _ = _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret)
     return ys
 
@@ -336,12 +333,33 @@ def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
     return ys[:t], (gx_p, w_hh, ys, cs, t)
 
 
-def _fwd_rule(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
+def _fwd_rule(gx, w_hh, fwd_chunk, bwd_chunk, interpret, bwd_split):
     ys, res = _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret)
     return ys, res
 
 
-def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
+def _split_halves(a, b):
+    """Direction-interleaved batch split of a (T, 2B, ·) plane.
+
+    Rows [0:B] are the forward direction, [B:2B] the backward one; each
+    half keeps B/2 columns of BOTH directions so the kernel's wf/wb row
+    split stays valid at b2/2.
+    """
+    half = b // 2
+    return (
+        jnp.concatenate([a[:, :half], a[:, b:b + half]], axis=1),
+        jnp.concatenate([a[:, half:b], a[:, b + half:]], axis=1),
+    )
+
+
+def _join_halves(d1, d2, b):
+    half = b // 2
+    return jnp.concatenate(
+        [d1[:, :half], d2[:, :half], d1[:, half:], d2[:, half:]], axis=1
+    )
+
+
+def _bwd_rule(fwd_chunk, bwd_chunk, interpret, bwd_split, res, dy):
     gx_p, w_hh, ys, cs, t = res
     interp = _auto_interpret(interpret)
     t_fwd = gx_p.shape[0]
@@ -358,7 +376,30 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
         ys_prev = jnp.pad(ys_prev, ((0, pad_b), (0, 0), (0, 0)))
         cs_shift = jnp.pad(cs_shift, ((0, pad_b), (0, 0), (0, 0)))
     dy_p = jnp.zeros((t_pad,) + dy.shape[1:], jnp.float32).at[:t].set(dy)
-    dgx = _bwd_pallas(gx_p, w_hh, ys_prev, cs_shift, dy_p, bwd_chunk, interp)
+    # hoist the recurrent-gate recompute out of the kernel: every h_prev is
+    # in the residuals, so hh = h_prev @ W_hh is one large batched matmul
+    # here (MXU-efficient) instead of T sequential dots inside the kernel
+    b = b2 // 2
+    hh = jax.lax.dot_general(
+        jnp.stack([ys_prev[:, :b], ys_prev[:, b:]]),  # (2, T, B, H)
+        w_hh,
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (2, T, B, 4H)
+    gates = gx_p + jnp.concatenate([hh[0], hh[1]], axis=1)
+    if bwd_split:
+        # two half-batch kernel calls (expert escape hatch; measured slower
+        # than one chunk=1 full-batch call at flagship shapes — see wrapper)
+        halves = [
+            _bwd_pallas(g, w_hh, c_s, d, bwd_chunk, interp)
+            for g, c_s, d in zip(
+                _split_halves(gates, b), _split_halves(cs_shift, b),
+                _split_halves(dy_p, b),
+            )
+        ]
+        dgx = _join_halves(halves[0], halves[1], b)
+    else:
+        dgx = _bwd_pallas(gates, w_hh, cs_shift, dy_p, bwd_chunk, interp)
     dgx = dgx[:t_fwd]
     # dW_hh[d] = sum_t h_prev[t]^T dpre[t] — one big XLA matmul per direction
     b = b2 // 2
@@ -374,14 +415,25 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
 lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _bwd_auto_chunk(b2, h, w_bytes, budget=13 * 1024 * 1024):
-    """gx+dgx double-buffered (8H units), four single-buffered H streams."""
+def _bwd_auto_chunk(b2, h, w_bytes, budget=None):
+    if budget is None:
+        budget = _BWD_BUDGET
+    """gates+dgx double-buffered (8H units), three single-buffered H streams.
+
+    Returns 0 when not even chunk=1 fits the VMEM budget — the wrapper must
+    then split the batch (two half-batch kernel calls).
+    """
     carries = 4 * b2 * h * 4
     for c in (8, 4, 2, 1):
-        bytes_ = 2 * c * b2 * 8 * h * 4 + 4 * c * b2 * h * 4
+        bytes_ = 2 * c * b2 * 8 * h * 4 + 3 * c * b2 * h * 4
         if bytes_ + w_bytes + carries <= budget:
             return c
-    return 1
+    return 0
+
+
+# flagship backward (b2=256, H=384) measures 13.1 MiB resident — a 13 MiB
+# budget would spuriously reject it, a 14 MiB one admits it with slack
+_BWD_BUDGET = 14 * 1024 * 1024
 
 
 def lstm_bidir_train(
@@ -407,13 +459,26 @@ def lstm_bidir_train(
     # kernel weights stay fp32 (validated on v5e); bf16 dots are opt-in
     h4 = 4 * h
     w_bytes = 2 * h * h4 * 4
+    # bwd_split (two half-batch backward calls) is NOT a chunk-size
+    # optimisation: at the flagship shape a half-batch chunk=2 backward
+    # measures WORSE than one full-batch chunk=1 call (5.8 ms vs 5.4 ms on
+    # v5e).  It exists for batches whose backward cannot fit VMEM at all
+    # (e.g. B=256, H=384 needs 22.8 MiB at chunk=1) — splitting is what
+    # makes those shapes runnable.
+    bwd_split = False
     if chunk is None:
         fwd_chunk = auto_chunk(2 * b, h, 6, weights_bytes=w_bytes)
         bwd_chunk = _bwd_auto_chunk(2 * b, h, w_bytes)
+        if bwd_chunk == 0 and (2 * b) % 16 == 0:
+            half_chunk = _bwd_auto_chunk(b, h, w_bytes)
+            if half_chunk >= 1:
+                bwd_split, bwd_chunk = True, half_chunk
+        bwd_chunk = max(bwd_chunk, 1)
     else:
         fwd_chunk, bwd_chunk = chunk, max(chunk // 2, 1)
     ys = lstm_scan_train(
-        gx, w_hh.astype(jnp.float32), fwd_chunk, bwd_chunk, interpret
+        gx, w_hh.astype(jnp.float32), fwd_chunk, bwd_chunk, interpret,
+        bwd_split
     )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)

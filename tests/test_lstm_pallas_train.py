@@ -31,6 +31,31 @@ def test_forward_matches_scan(t, b, f, h, chunk):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_batch_split_backward_matches_unsplit():
+    """The two-half backward (bwd_split) must give identical gradients."""
+    from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_scan_train
+
+    t, b, f, h = 12, 8, 6, 4  # b2 = 16 -> halves of 8
+    params, x, w_ih, w_hh = _setup(t, b, f, h, seed=9)
+    xr = jnp.flip(x, axis=0)
+    x2 = jnp.stack([x, xr]).reshape(2, t * b, -1)
+    gx = jax.lax.dot_general(
+        x2, w_ih, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    ).reshape(2, t, b, 4 * h)
+    gx = jnp.concatenate([gx[0], gx[1]], axis=1)
+
+    def loss(gx, w_hh, split):
+        ys = lstm_scan_train(gx, w_hh, 4, 2, True, split)
+        return jnp.sum(ys ** 2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(gx, w_hh, False)
+    g_split = jax.grad(loss, argnums=(0, 1))(gx, w_hh, True)
+    for name, a, b_ in zip(("dgx", "dw_hh"), g_split, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-7, err_msg=name
+        )
+
+
 @pytest.mark.parametrize("t,b,f,h,chunk", [(12, 2, 4, 4, 4), (8, 3, 5, 4, 8)])
 def test_gradients_match_scan_autodiff(t, b, f, h, chunk):
     params, x, w_ih, w_hh = _setup(t, b, f, h, seed=3)
