@@ -228,11 +228,112 @@ def bench_decode_rtf() -> dict:
     }
 
 
+def bench_epoch() -> dict:
+    """Honest end-to-end throughput: a full epoch of the flagship recipe
+    through ``SpeechDataLoader`` (bucketed shapes, host splice/skip, padding,
+    per-step WER) over a TIMIT-sized synthetic ark corpus, plus a stage-4
+    greedy decode pass over the same loader.  The step-rate metric above is
+    the compute ceiling; the gap to this number is input-pipeline overhead
+    (``train_ctc.py:229-230`` epoch-minutes contract)."""
+    import dataclasses
+    import sys
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from tools.parity.gen_corpus import generate
+
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.data import SpeechDataLoader, SpeechDataset
+    from ctc_pytorch_tpu.decode.greedy import greedy_collapse
+    from ctc_pytorch_tpu.models.ctc_model import CTCModel, ModelSpec
+    from ctc_pytorch_tpu.train.loop import make_step_fns, run_epoch
+    from ctc_pytorch_tpu.train.state import create_train_state
+    from ctc_pytorch_tpu.vocab import Vocab
+
+    corpus = Path(__file__).parent / ".bench_corpus"
+    if not (corpus / "units").exists():
+        generate(corpus, n_train=3696, n_dev=0, n_test=0, n_phones=39,
+                 dim=81, min_phones=25, max_phones=45, min_dur=4, max_dur=10)
+
+    cfg = Config()
+    cfg.vocab_file = str(corpus / "units")
+    cfg.feature_dim = 81
+    cfg.left_ctx, cfg.right_ctx = 0, 2
+    cfg.n_skip_frame, cfg.n_downsample = 2, 2
+    cfg.rnn_input_size = 243
+    cfg.rnn_hidden_size = 384
+    cfg.rnn_layers = 4
+    cfg.batch_size = B
+    cfg.num_buckets = 4
+    cfg.dtype = "bfloat16"
+    cfg.drop_out = 0.2
+    cfg.cnn = CNNConfig(
+        add_cnn=True, layers=2, channel=[(1, 32), (32, 32)],
+        kernel_size=[(3, 3), (3, 3)], stride=[(1, 2), (2, 2)],
+        padding=[(1, 1), (1, 1)], pooling=None,
+    )
+    vocab = Vocab(cfg.vocab_file)
+    ds = SpeechDataset(vocab, str(corpus / "train" / "fbank.scp"),
+                       str(corpus / "train" / "phn_text"), cfg)
+    loader = SpeechDataLoader(ds, B, shuffle=True, num_buckets=4, seed=1)
+    spec = dataclasses.replace(
+        ModelSpec.from_config(cfg, num_class=vocab.n_words),
+        use_pallas_rnn=True,
+    )
+    state, tx = create_train_state(jax.random.PRNGKey(0), spec, cfg.init_lr,
+                                   cfg.weight_decay)
+    step_fns = make_step_fns(spec, tx, ctc_impl="pallas")
+    rng = jax.random.PRNGKey(1)
+    n_utts = len(ds)
+
+    out = {}
+    for wer_on in (True, False):
+        # a warm pass per variant: compute_wer toggles the per-step greedy
+        # decode, i.e. a different jitted program per bucket shape
+        state, _, _ = run_epoch(0, step_fns, state, loader, training=True,
+                                rng=rng, compute_wer=wer_on,
+                                log=lambda *a: None)
+        t0 = _time.perf_counter()
+        state, _, loss = run_epoch(1, step_fns, state, loader, training=True,
+                                   rng=rng, compute_wer=wer_on,
+                                   log=lambda *a: None)
+        dt = _time.perf_counter() - t0
+        key = "epoch_utts_per_sec" + ("" if wer_on else "_nower")
+        out[key] = n_utts / dt
+    # stage-4: forward + on-device greedy over the same loader
+    @jax.jit
+    def fwd(feats):
+        lp, _ = CTCModel.apply(spec, state.params, state.model_state, feats)
+        return lp
+    eval_loader = SpeechDataLoader(ds, B, shuffle=False, num_buckets=4)
+    for _ in range(2):  # first pass warms per-bucket compiles
+        t0 = _time.perf_counter()
+        total_audio = 0.0
+        for batch in eval_loader:
+            lp = fwd(jnp.asarray(batch.feats))
+            sizes = (batch.input_frac * lp.shape[0]).astype(np.int32)
+            toks, lens = greedy_collapse(
+                jnp.transpose(jnp.argmax(lp, -1)), jnp.asarray(sizes)
+            )
+            np.asarray(toks)
+            total_audio += float(
+                np.sum(batch.input_lengths * batch.example_mask)
+            ) * 2 * 0.010  # frames are post-skip(2); 10 ms shift
+        decode_s = _time.perf_counter() - t0
+    out["stage4_greedy_rtf"] = decode_s / max(total_audio, 1e-9)
+    out["corpus_utts"] = n_utts
+    return out
+
+
 def main(extra: bool = False) -> None:
     ours = bench_ours()
     baseline = get_baseline()
     if extra:
         extras = bench_decode_rtf()
+        extras.update(bench_epoch())
         extras["train_utts_per_sec"] = ours
         extras["torch_cpu_utts_per_sec"] = baseline
         Path(__file__).parent.joinpath("BENCH_EXTRA.json").write_text(

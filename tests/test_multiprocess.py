@@ -1,0 +1,133 @@
+"""Two-process ``jax.distributed`` smoke test on CPU (VERDICT r1 #7).
+
+Spawns two REAL processes (coordinator on localhost), each with 4 forced
+host devices -> an 8-device global mesh, and checks across actual process
+boundaries that:
+
+- ``shard_for_host`` gives each process its round-robin scp shard,
+- ``make_global_batch`` assembles the right global rows, and
+- a data-parallel (psum-ed) gradient step equals the single-process
+  full-batch gradient.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+WORKER = textwrap.dedent("""
+    import json, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ctc_pytorch_tpu.parallel import distributed as dist
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    dist.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    devs = np.array(jax.devices())  # 8 global devices, 4 local per process
+    assert len(devs) == 8, len(devs)
+    mesh = Mesh(devs, ("data",))
+
+    # 1) per-host scp sharding: round-robin by index
+    items = [f"utt{i:02d}" for i in range(10)]
+    shard = dist.shard_for_host(items)
+    assert shard == items[pid::2], (pid, shard)
+
+    # 2) global batch assembly: process p contributes rows with value base+p
+    local = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100 * pid
+    (gx,) = dist.make_global_batch((local,), mesh)
+    assert gx.shape == (8, 3), gx.shape
+
+    # 3) psum-ed gradient step == single-process full-batch gradient
+    w = jnp.asarray(np.linspace(0.1, 0.3, 3, dtype=np.float32))
+    y_local = local.sum(axis=1) * 0.5
+    (gy,) = dist.make_global_batch((y_local,), mesh)
+
+    def loss(w, x, y):
+        return jnp.sum((x @ w - y) ** 2)
+
+    gfn = jax.jit(
+        jax.grad(loss),
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P("data")),
+            NamedSharding(mesh, P("data")),
+        ),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    g = gfn(w, gx, gy)
+    # reference: both hosts' rows, single-process math (the gradient is a
+    # sum over rows, so it is row-order independent)
+    full_x = np.concatenate([
+        np.arange(12, dtype=np.float32).reshape(4, 3) + 100 * p
+        for p in (0, 1)
+    ])
+    full_y = full_x.sum(axis=1) * 0.5
+    g_ref = 2 * full_x.T @ (full_x @ np.asarray(w) - full_y)
+    ok = bool(np.allclose(np.asarray(g), g_ref, rtol=1e-5, atol=1e-5))
+    # row placement: this process's addressable shards must hold exactly its
+    # local rows (global arrays are not fully addressable across processes)
+    shard_map_ = sorted(
+        (int(s.index[0].start), float(np.asarray(s.data)[0, 0]))
+        for s in gx.addressable_shards
+    )
+    print(json.dumps({
+        "pid": pid, "grad_ok": ok,
+        "g": np.asarray(g).tolist(), "g_ref": g_ref.tolist(),
+        "shards": shard_map_,
+    }))
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.skipif(os.environ.get("CI_NO_SUBPROCESS"), reason="no subproc")
+def test_two_process_distributed(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    old = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = f"{REPO}" + (f":{old}" if old else "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    for o in outs:
+        assert o["grad_ok"], o
+    # row placement: process 0's addressable rows are 0-3 holding its local
+    # values (0,3,6,9 in column 0); process 1's are 4-7 holding 100,103,...
+    by_pid = {o["pid"]: o["shards"] for o in outs}
+    assert [s[0] for s in by_pid[0]] == [0, 1, 2, 3], by_pid[0]
+    assert [s[0] for s in by_pid[1]] == [4, 5, 6, 7], by_pid[1]
+    assert [s[1] for s in by_pid[0]] == [0.0, 3.0, 6.0, 9.0], by_pid[0]
+    assert [s[1] for s in by_pid[1]] == [100.0, 103.0, 106.0, 109.0], by_pid[1]
