@@ -314,6 +314,8 @@ class Trainer:
                 "dev_loss": dev_loss, "dev_acc": dev_acc,
                 "epoch_minutes": (time.time() - t0) / 60.0,
                 "adjust_time": self.scheduler.adjust_time,
+                "rollback": decision.rollback, "decay_lr": decision.decay_lr,
+                "snapshot": decision.snapshot,
             })
             if cfg.save_every and self.epoch % cfg.save_every == 0:
                 self.save_resume_checkpoint()
@@ -322,8 +324,13 @@ class Trainer:
     # -- persistence ----------------------------------------------------
     def save_best(self) -> Path:
         path = self.out_dir / "ctc_best_model.npz"
+        # TIMIT reloads the best-dev-acc snapshot before saving
+        # (train_ctc.py:240-242); the 863 recipe saves the live model at
+        # loop end — i.e. the last rollback snapshot when stopping via
+        # adjust_time==8 (cnn_lstm_ctc.py:256-260)
+        state = self.state if self.cfg.scheduler_mode == "acc" else self._best
         ckpt.save_package(
-            path, self.spec, self._best, config=self.cfg,
+            path, self.spec, state, config=self.cfg,
             scheduler_state=self.scheduler.state_dict(), epoch=self.epoch,
             **self.histories,
         )

@@ -13,8 +13,24 @@ Band test on dev loss against ``loss_best ± end_adjust_acc``:
 - stop after ``adjust_time == 8`` decays (``train_ctc.py:226-227``).
 
 Separately tracks the best dev-accuracy state for the final save
-(``train_ctc.py:209-212, 240-242``).  The 863 variant keys the same machine
-on dev *accuracy* (``cnn_lstm_ctc.py:213-241``); pass ``mode='acc'``.
+(``train_ctc.py:209-212, 240-242``).
+
+The 863 variant (``my_863_corpus/steps/cnn_lstm_ctc.py:175-241``; pass
+``mode='acc'``) keys the machine on dev *accuracy in percent* (its ``dev()``
+returns ``acc*100`` — :81-82) and differs from the TIMIT machine in three
+ways, all reproduced here:
+
+- a big improvement (branch 1) updates ``acc_best`` but NOT
+  ``acc_best_true`` (:213-217);
+- an epoch *worse than the band* resets the counter to 0 instead of
+  forcing an immediate decay (:224-225 vs ``train_ctc.py:206-207``);
+- at decay, ``acc_best = acc_best_true`` unconditionally (:236), whereas
+  TIMIT guards it with ``if loss_best > loss_best_true``.
+
+``least_train_epoch`` appears in the reference conf
+(``cnn_lstm_ctc_setting.conf:21``) but is never read by the reference code;
+this framework implements the natural reading (no LR adjustment before that
+epoch) via ``allow_adjust``.
 """
 
 from __future__ import annotations
@@ -48,10 +64,14 @@ class PlateauScheduler:
         """``allow_adjust=False`` implements the 863 recipe's
         ``least_train_epoch`` warmup: track bests/snapshots but never decay."""
         d = PlateauDecision()
-        metric = dev_loss if self.mode == "loss" else -dev_acc
+        acc_mode = self.mode == "acc"
+        # 863 works in accuracy *percent* (dev() returns acc*100,
+        # cnn_lstm_ctc.py:82) negated so "smaller is better" like loss mode
+        metric = -dev_acc * 100.0 if acc_mode else dev_loss
         if metric < (self.loss_best - self.end_adjust_acc):
             self.loss_best = metric
-            self.loss_best_true = metric
+            if not acc_mode:  # 863 leaves acc_best_true (cnn_lstm_ctc:213-217)
+                self.loss_best_true = metric
             self.adjust_rate_count = 0
             d.snapshot = True
         elif metric < self.loss_best + self.end_adjust_acc:
@@ -60,7 +80,9 @@ class PlateauScheduler:
                 self.loss_best_true = metric
                 d.snapshot = True
         else:
-            self.adjust_rate_count = 10
+            # much worse: TIMIT forces an immediate decay (count=10,
+            # train_ctc.py:206-207); 863 just resets (cnn_lstm_ctc:224-225)
+            self.adjust_rate_count = 0 if acc_mode else 10
 
         if dev_acc > self.acc_best:
             self.acc_best = dev_acc
@@ -71,7 +93,7 @@ class PlateauScheduler:
                 d.decay_lr = True
                 d.rollback = True
                 self.adjust_time += 1
-                if self.loss_best > self.loss_best_true:
+                if acc_mode or self.loss_best > self.loss_best_true:
                     self.loss_best = self.loss_best_true
             self.adjust_rate_count = 0
 

@@ -92,6 +92,79 @@ def test_scheduler_band_counting():
     assert s.adjust_time == 1
 
 
+class _Reference863Logic:
+    """Line-by-line transcription of the 863 acc-keyed control flow
+    (my_863_corpus/steps/cnn_lstm_ctc.py:175-241): percent-scale accuracy,
+    big improvements leave acc_best_true, much-worse epochs reset (not
+    force) the counter, unconditional acc_best=acc_best_true at decay."""
+
+    def __init__(self, end_adjust_acc=0.5):
+        self.end_adjust_acc = end_adjust_acc
+        self.acc_best = -100.0
+        self.acc_best_true = -100.0
+        self.adjust_rate_count = 0
+        self.adjust_time = 0
+
+    def update(self, acc_pct):
+        events = dict(snapshot=False, rollback=False, decay_lr=False,
+                      stop=False)
+        if acc_pct > (self.acc_best + self.end_adjust_acc):
+            self.acc_best = acc_pct
+            self.adjust_rate_count = 0
+            events["snapshot"] = True
+        elif acc_pct > self.acc_best - self.end_adjust_acc:
+            self.adjust_rate_count += 1
+            if acc_pct > self.acc_best and acc_pct > self.acc_best_true:
+                self.acc_best_true = acc_pct
+                events["snapshot"] = True
+        else:
+            self.adjust_rate_count = 0
+        if self.adjust_rate_count == 10:
+            events["decay_lr"] = True
+            events["rollback"] = True
+            self.adjust_time += 1
+            self.adjust_rate_count = 0
+            self.acc_best = self.acc_best_true
+        if self.adjust_time == 8:
+            events["stop"] = True
+        return events
+
+
+def test_scheduler_acc_mode_matches_863_reference():
+    rng = np.random.RandomState(7)
+    ours = PlateauScheduler(end_adjust_acc=0.5, mode="acc")
+    ref = _Reference863Logic(end_adjust_acc=0.5)
+    acc = 0.05
+    for step in range(400):
+        # noisy rising-then-plateauing accuracy trajectory (fraction in
+        # [0,1], like run_epoch returns); the reference sees it in percent
+        drift = 0.005 if step < 80 else 0.0
+        noise = 0.003 if step < 80 else 0.0015
+        acc = float(np.clip(acc + rng.randn() * noise + drift, 0.0, 0.99))
+        d = ours.update(dev_loss=123.0, dev_acc=acc)
+        e = ref.update(acc * 100.0)
+        assert d.snapshot == e["snapshot"], step
+        assert d.rollback == e["rollback"], step
+        assert d.decay_lr == e["decay_lr"], step
+        assert d.stop == e["stop"], step
+        assert ours.adjust_time == ref.adjust_time, step
+        assert ours.adjust_rate_count == ref.adjust_rate_count, step
+        if d.stop:
+            break
+    assert ours.adjust_time >= 1  # the walk must actually exercise decays
+
+
+def test_scheduler_acc_mode_much_worse_resets_not_decays():
+    s = PlateauScheduler(end_adjust_acc=1.0, mode="acc")
+    s.update(0.0, 0.50)  # 50% — big improvement, snapshot
+    for _ in range(5):
+        s.update(0.0, 0.502)  # in band: counter climbs
+    assert s.adjust_rate_count == 5
+    d = s.update(0.0, 0.10)  # catastrophically worse
+    # 863 resets the counter (cnn_lstm_ctc:224-225) — no immediate decay
+    assert not d.decay_lr and s.adjust_rate_count == 0
+
+
 def test_scheduler_roundtrip():
     s = PlateauScheduler()
     s.update(10.0, 0.6)

@@ -43,10 +43,17 @@ def generate(
     max_dur: int = 9,
     noise: float = 0.35,
     seed: int = 0,
+    unit_names: list | None = None,
+    feat_name: str = "fbank",
+    text_name: str = "phn_text",
 ) -> dict:
+    """``unit_names``/``feat_name``/``text_name`` let the 863 soak reuse this
+    generator with Mandarin-syllable units and the ``spectrum.scp``/``text``
+    on-disk layout (my_863_corpus/conf/cnn_lstm_ctc_setting.conf)."""
     root = Path(root)
     rng = np.random.RandomState(seed)
-    phones = phone_names(n_phones)
+    phones = unit_names if unit_names is not None else phone_names(n_phones)
+    n_phones = len(phones)
     # per-phone prototype trajectory: start + drift, unit-scale features
     proto_a = rng.randn(n_phones, dim).astype(np.float32)
     proto_b = rng.randn(n_phones, dim).astype(np.float32) * 0.5
@@ -59,7 +66,7 @@ def generate(
         d = root / split
         d.mkdir(parents=True, exist_ok=True)
         lab_lines = []
-        with ArkWriter(d / "fbank.ark", d / "fbank.scp") as w:
+        with ArkWriter(d / f"{feat_name}.ark", d / f"{feat_name}.scp") as w:
             for u in range(n_utt):
                 utt = f"{split}{u:05d}"
                 spk_off = rng.randn(dim).astype(np.float32) * 0.15
@@ -81,7 +88,7 @@ def generate(
                 feat = (feat + e).astype(np.float32)
                 w.write(utt, feat)
                 lab_lines.append(utt + " " + " ".join(phones[p] for p in seq))
-        (d / "phn_text").write_text("\n".join(lab_lines) + "\n")
+        (d / text_name).write_text("\n".join(lab_lines) + "\n")
         counts[split] = n_utt
     (root / "units").write_text("\n".join(sorted(phones)) + "\n")
     return counts
