@@ -86,16 +86,24 @@ def test_cached_dataset_roundtrip(tmp_path):
 
 
 def test_acc_mode_scheduler_and_warmup():
-    s = PlateauScheduler(end_adjust_acc=0.5, mode="acc")
+    # acc mode works in PERCENT (dev() returns acc*100,
+    # cnn_lstm_ctc.py:82); update() takes the fraction run_epoch returns
+    s = PlateauScheduler(end_adjust_acc=1.5, mode="acc")
     # improving accuracy -> snapshot, no decay
-    d = s.update(dev_loss=0.0, dev_acc=80.0)
+    d = s.update(dev_loss=0.0, dev_acc=0.80)
     assert d.snapshot and not d.decay_lr
-    # collapse in accuracy but within warmup: counters reset, no decay
-    d = s.update(dev_loss=0.0, dev_acc=10.0, allow_adjust=False)
-    assert not d.decay_lr and not d.rollback
-    assert s.adjust_time == 0
-    # same collapse with adjustment allowed -> decay + rollback
-    d = s.update(dev_loss=0.0, dev_acc=10.0, allow_adjust=True)
+    # collapse in accuracy: 863 resets the counter, never decays here
+    # (cnn_lstm_ctc.py:224-225)
+    d = s.update(dev_loss=0.0, dev_acc=0.10)
+    assert not d.decay_lr and not d.rollback and s.adjust_rate_count == 0
+    # ten in-band epochs (within 1.5 points of best) under warmup: counter
+    # saturates but no decay...
+    for _ in range(10):
+        d = s.update(dev_loss=0.0, dev_acc=0.801, allow_adjust=False)
+    assert s.adjust_time == 0 and not d.decay_lr
+    # ...and ten more with adjustment allowed -> decay + rollback
+    for _ in range(10):
+        d = s.update(dev_loss=0.0, dev_acc=0.801, allow_adjust=True)
     assert d.decay_lr and d.rollback
     assert s.adjust_time == 1
 

@@ -5,6 +5,8 @@ num_class (+1 blank), accuracy-keyed scheduler with warmup, grad clipping,
 rotating file logs, and the config_used.yaml rewrite with the best path.
 """
 
+import pytest
+
 import numpy as np
 
 from ctc_pytorch_tpu.cli import train as train_cli
@@ -36,6 +38,7 @@ def _make_863_data(data, n_utts=8, dim=20, n_class=4, seed=0):
     return units
 
 
+@pytest.mark.slow
 def test_863_ini_training_e2e(tmp_path):
     data = tmp_path / "data"
     units = _make_863_data(data, dim=20, n_class=4)

@@ -1,5 +1,7 @@
 """evaluate() with decode_type=BeamDevice: on-device batched beam in stage 4."""
 
+import pytest
+
 import numpy as np
 
 from ctc_pytorch_tpu.cli import make_feat, train_lm
@@ -11,6 +13,8 @@ from ctc_pytorch_tpu.models.ctc_model import ModelSpec
 from ctc_pytorch_tpu.train import Trainer
 from ctc_pytorch_tpu.vocab import Vocab
 from tests.test_pipeline_e2e import _fake_corpus
+
+pytestmark = pytest.mark.slow
 
 
 def test_beamdevice_stage4(tmp_path):

@@ -10,7 +10,10 @@ from ctc_pytorch_tpu.models.rnn import _scan_bidir_fused, cell_init
 from ctc_pytorch_tpu.ops.gru_pallas import gru_bidir_pallas
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(16, 4, 6, 8, 8), (10, 2, 5, 4, 4)])
+@pytest.mark.parametrize("t,b,f,h,chunk", [
+    pytest.param(16, 4, 6, 8, 8, marks=pytest.mark.slow),
+    (10, 2, 5, 4, 4),
+])
 def test_pallas_gru_matches_scan(t, b, f, h, chunk):
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {

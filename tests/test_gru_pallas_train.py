@@ -31,7 +31,10 @@ def test_forward_matches_scan(t, b, f, h, chunk):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(12, 2, 4, 4, 4), (8, 3, 5, 4, 8)])
+@pytest.mark.parametrize("t,b,f,h,chunk", [
+    pytest.param(12, 2, 4, 4, 4, marks=pytest.mark.slow),
+    (6, 2, 5, 4, 4),
+])
 def test_gradients_match_scan_autodiff(t, b, f, h, chunk):
     params, x, w_ih, w_hh = _setup(t, b, f, h, seed=3)
     tgt = jax.random.normal(jax.random.PRNGKey(11), (t, b, 2 * h), jnp.float32)
@@ -62,6 +65,7 @@ def test_gradients_match_scan_autodiff(t, b, f, h, chunk):
         )
 
 
+@pytest.mark.slow
 def test_unpadded_tail_chunk():
     """T not divisible by either chunk exercises the pad/trim paths."""
     params, x, w_ih, w_hh = _setup(11, 2, 4, 4, seed=5)

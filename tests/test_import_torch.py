@@ -75,6 +75,7 @@ class _TorchRef(nn.Module):
         return torch.log_softmax(x, dim=-1)
 
 
+@pytest.mark.slow
 def test_torch_import_forward_parity():
     torch.manual_seed(0)
     feat, h, num_class = 20, 8, 6

@@ -18,7 +18,10 @@ def _params(key, f, h):
     }
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(16, 4, 6, 8, 8), (12, 2, 5, 4, 8)])
+@pytest.mark.parametrize("t,b,f,h,chunk", [
+    pytest.param(16, 4, 6, 8, 8, marks=pytest.mark.slow),
+    (12, 2, 5, 4, 8),
+])
 def test_pallas_lstm_matches_scan(t, b, f, h, chunk):
     key = jax.random.PRNGKey(0)
     params = _params(key, f, h)

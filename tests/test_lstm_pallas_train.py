@@ -31,6 +31,7 @@ def test_forward_matches_scan(t, b, f, h, chunk):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_batch_split_backward_matches_unsplit():
     """The two-half backward (bwd_split) must give identical gradients."""
     from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_scan_train
@@ -56,7 +57,10 @@ def test_batch_split_backward_matches_unsplit():
         )
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(12, 2, 4, 4, 4), (8, 3, 5, 4, 8)])
+@pytest.mark.parametrize("t,b,f,h,chunk", [
+    pytest.param(12, 2, 4, 4, 4, marks=pytest.mark.slow),
+    (8, 3, 5, 4, 8),
+])
 def test_gradients_match_scan_autodiff(t, b, f, h, chunk):
     params, x, w_ih, w_hh = _setup(t, b, f, h, seed=3)
     # a non-trivial loss over the outputs

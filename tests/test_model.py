@@ -21,6 +21,10 @@ def _ref_cfg():
         batch_norm=True,
     )
     cfg.dtype = "float32"
+    # shape semantics don't depend on RNN width; small RNN keeps CPU
+    # compiles fast (the flagship size is compiled in test_entry_compiles)
+    cfg.rnn_hidden_size = 32
+    cfg.rnn_layers = 1
     return cfg
 
 

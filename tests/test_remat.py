@@ -1,5 +1,7 @@
 """remat (jax.checkpoint) option: identical results, grads still flow."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -23,6 +25,7 @@ def _cfg(remat):
     return cfg
 
 
+@pytest.mark.slow
 def test_remat_matches_plain():
     spec0 = ModelSpec.from_config(_cfg(False), num_class=5)
     spec1 = ModelSpec.from_config(_cfg(True), num_class=5)

@@ -1,5 +1,7 @@
 """Waveform-in configuration through the dataset + cli/train path."""
 
+import pytest
+
 import numpy as np
 
 from ctc_pytorch_tpu.cli import train as train_cli
@@ -52,6 +54,7 @@ def test_waveform_dataset_items(tmp_path):
     assert (batch.input_lengths == 4800).all()
 
 
+@pytest.mark.slow
 def test_waveform_cli_train(tmp_path):
     data = tmp_path / "data"
     _wav_corpus(data)

@@ -1,5 +1,7 @@
 """Waveform-in end-to-end: on-device frontend fused into the train step."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -52,6 +54,7 @@ def test_waveform_frontend_matches_offline_pipeline():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_waveform_training_reduces_loss():
     fe = _spec()
     cfg = Config()
