@@ -75,7 +75,15 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool):
     if not train or rate <= 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    # Mask generation via the hardware RngBitGenerator (unsafe_rbg): the
+    # default threefry is ALU-heavy on TPU and dropout masks on the CNN
+    # planes (~100M elements/step at flagship shapes) made it a top-3 step
+    # cost.  Deterministic per key, which is all dropout needs.
+    data = rng if rng.dtype == jnp.uint32 else jax.random.key_data(rng)
+    rbg = jax.random.wrap_key_data(
+        jnp.concatenate([data, data]), impl="unsafe_rbg"
+    )
+    mask = jax.random.bernoulli(rbg, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
