@@ -43,11 +43,17 @@ def conv_layer_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int],
 
 
 def _bn2d(params, state, x, train: bool, momentum=0.1, eps=1e-5):
-    """BatchNorm2d over channel axis of (B, C, T, F)."""
+    """BatchNorm2d over the channel axis of NHWC ``(B, T, F, C)``.
+
+    Stats accumulate in fp32 regardless of the plane dtype; the normalized
+    output stays in the input dtype (bf16 planes at flagship shapes halve
+    the HBM traffic of these full-plane passes).
+    """
     if train:
-        mean = jnp.mean(x, axis=(0, 2, 3))
-        var = jnp.var(x, axis=(0, 2, 3))
-        n = x.shape[0] * x.shape[2] * x.shape[3]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
@@ -57,9 +63,8 @@ def _bn2d(params, state, x, train: bool, momentum=0.1, eps=1e-5):
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + eps)
-    shape = (1, -1, 1, 1)
-    out = (x - mean.reshape(shape)) * (inv * params["scale"]).reshape(shape)
-    return out + params["bias"].reshape(shape), new_state
+    out = (x - mean) * (inv * params["scale"]) + params["bias"]
+    return out.astype(x.dtype), new_state
 
 
 def cnn_stack_init(key, cnn: CNNConfig) -> Tuple[List[Dict], List[Dict]]:
@@ -86,7 +91,15 @@ def cnn_stack_apply(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, List[Dict]]:
-    """(B, 1, T, F) -> (B, C_out, T', F'), plus new BN states."""
+    """(B, 1, T, F) -> NHWC ``(B, T', F', C_out)``, plus new BN states.
+
+    The stack runs channels-last (NHWC/HWIO) with the planes held in
+    ``compute_dtype`` throughout: TPU convs want channels on the lane axis,
+    and the BN/act/dropout full-plane passes over the first conv's output
+    (~80M elements at flagship shapes) were fp32-traffic-bound in NCHW
+    (measured 5.2 ms -> ~1.5 ms for the whole stack fwd+bwd on v5e).
+    Parameters keep the torch OIHW layout (checkpoint/import contract).
+    """
     from ctc_pytorch_tpu.models.layers import dropout
 
     act = ACTIVATIONS[cnn.activation_function.lower()]
@@ -95,19 +108,20 @@ def cnn_stack_apply(
         jax.random.split(rng, len(params)) if (rng is not None and train) else
         [None] * len(params)
     )
+    x = x.transpose(0, 2, 3, 1).astype(compute_dtype)  # (B,C,T,F)->(B,T,F,C)
     for i, (p, s, r) in enumerate(zip(params, states, rngs)):
         stride = cnn.stride[i]
         pad = cnn.padding[i]
         # no preferred_element_type here: its VJP mixes bf16/fp32 operand
         # dtypes and fails; the TPU MXU accumulates bf16 convs in fp32 anyway
         out = jax.lax.conv_general_dilated(
-            x.astype(compute_dtype),
-            p["w"].astype(compute_dtype),
+            x,
+            p["w"].astype(compute_dtype).transpose(2, 3, 1, 0),  # OIHW->HWIO
             window_strides=stride,
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        ).astype(jnp.float32)
-        out = out + p["b"].reshape(1, -1, 1, 1)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = out + p["b"].astype(compute_dtype)
         ns = dict(s)
         if "bn" in p:
             out, ns["bn"] = _bn2d(p["bn"], s["bn"], out, train)
@@ -116,8 +130,8 @@ def cnn_stack_apply(
             pk = cnn.pooling[i]
             out = jax.lax.reduce_window(
                 out, -jnp.inf, jax.lax.max,
-                window_dimensions=(1, 1, pk[0], pk[1]),
-                window_strides=(1, 1, pk[0], pk[1]),
+                window_dimensions=(1, pk[0], pk[1], 1),
+                window_strides=(1, pk[0], pk[1], 1),
                 padding="VALID",
             )
         out = dropout(out, drop_rate, r, train)

@@ -155,10 +155,14 @@ class CTCModel:
                 compute_dtype=compute_dtype,
             )
             if visualize:
-                visual.append(out)
-            b, c, t, f = out.shape
-            # (B, C, T', F') -> (B, T', C, F') -> (B, T', C*F') -> (T', B, C*F')
-            out = out.transpose(0, 2, 1, 3).reshape(b, t, c * f).transpose(1, 0, 2)
+                # visual contract stays (B, C, T', F') — the stack itself
+                # now runs/returns channels-last (see cnn_stack_apply)
+                visual.append(out.transpose(0, 3, 1, 2).astype(jnp.float32))
+            b, t, f, c = out.shape
+            # NHWC (B, T', F', C) -> (T', B, C, F') -> (T', B, C*F'):
+            # C-major features, same ordering as the reference's
+            # (B, C, T, F) -> (T, B, C*F) reshape (model_ctc.py:153-158)
+            out = out.transpose(1, 0, 3, 2).reshape(t, b, c * f)
             if visualize:
                 visual.append(out)
         else:

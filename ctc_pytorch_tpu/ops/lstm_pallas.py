@@ -41,16 +41,18 @@ VMEM_BUDGET = 14 * 1024 * 1024  # leave ~2 MB slack under the 16 MB limit
 
 
 def auto_chunk(b2: int, h: int, stream_h_units: int, budget: int = VMEM_BUDGET,
-               weights_bytes: int = 0, candidates=(8, 4, 2, 1)) -> int:
+               weights_bytes: int = 0, candidates=(8, 4, 2, 1),
+               elem_bytes: int = 4) -> int:
     """Largest chunk whose double-buffered streams + weights fit VMEM.
 
     ``stream_h_units``: total per-timestep stream width in units of H
     (e.g. eval kernel: gx 4H + out 1H = 5; train fwd: 4+1+1 = 6;
     train bwd: gx 4 + dgx 4 + 4 small streams = 12).
+    ``elem_bytes``: stream element size (2 for bf16 streams).
     """
     state_bytes = 4 * b2 * h * 4  # h/c or dh/dc carries (fp32, generous)
     for c in candidates:
-        stream = 2 * c * b2 * h * stream_h_units * 4
+        stream = 2 * c * b2 * h * stream_h_units * elem_bytes
         if stream + weights_bytes + state_bytes <= budget:
             return c
     return 1
@@ -61,20 +63,35 @@ def _lstm_cell(gx_row, hs, cs, wf_ref, wb_ref, b: int, h: int):
 
     The recurrent dots run in the weights' dtype (bf16 on the production
     path — native MXU rate) with fp32 accumulation; state stays fp32.
+    ``gx_row`` may be a bf16 stream — gate math happens in fp32 VREGs.
     """
     dd = wf_ref.dtype
     hh_f = jnp.dot(hs[:b].astype(dd), wf_ref[:],
                    preferred_element_type=jnp.float32)
     hh_b = jnp.dot(hs[b:].astype(dd), wb_ref[:],
                    preferred_element_type=jnp.float32)
-    gates = gx_row + jnp.concatenate([hh_f, hh_b], axis=0)
+    gates = gx_row.astype(jnp.float32) + jnp.concatenate([hh_f, hh_b], axis=0)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     cs = jax.nn.sigmoid(f) * cs + jax.nn.sigmoid(i) * jnp.tanh(g)
     hs = jax.nn.sigmoid(o) * jnp.tanh(cs)
     return hs, cs, gates
 
 
-def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
+def stream_dtype_for(compute_dtype, b2: int):
+    """HBM stream dtype for the gx/ys/cs planes.
+
+    bf16 streams halve the kernels' HBM traffic (the dominant cost at
+    flagship shapes).  Mosaic's bf16 min tile is (16, 128) on the
+    (sublane, lane) axes, so bf16 requires the stacked batch to tile to
+    16; smaller shapes (unit tests) keep exact fp32.
+    """
+    if jnp.dtype(compute_dtype) == jnp.bfloat16 and b2 % 16 == 0:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _make_kernel(chunk: int, t_max: int, b2: int, h: int,
+                 sd=jnp.float32):
     n_chunks = t_max // chunk
     b = b2 // 2
 
@@ -117,7 +134,7 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
                 hs, cs, _ = _lstm_cell(
                     gx_buf[slot, k], hs, cs, wf_ref, wb_ref, b, h
                 )
-                out_buf[slot, k] = hs
+                out_buf[slot, k] = hs.astype(sd)
                 return hs, cs
 
             hs, cs = jax.lax.fori_loop(
@@ -145,23 +162,29 @@ def lstm_scan_pallas(
     chunk: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Run the fused LSTM time loop; returns hidden states (T, 2B, H)."""
+    """Run the fused LSTM time loop; returns hidden states (T, 2B, H).
+
+    The stream dtype follows ``gx.dtype`` (bf16 streams halve HBM traffic;
+    pass fp32 gx for exact unit-test numerics).
+    """
     interpret = _auto_interpret(interpret)
     t_max, b2, h4 = gx.shape
     h = h4 // 4
+    sd = gx.dtype if gx.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     if chunk is None:
         w_bytes = 2 * h * h4 * w_hh.dtype.itemsize
-        chunk = auto_chunk(b2, h, 5, weights_bytes=w_bytes)
+        chunk = auto_chunk(b2, h, 5, weights_bytes=w_bytes,
+                           elem_bytes=jnp.dtype(sd).itemsize)
     if t_max % chunk != 0:
         pad = chunk - t_max % chunk
         gx = jnp.pad(gx, ((0, pad), (0, 0), (0, 0)))
         t_pad = t_max + pad
     else:
         t_pad = t_max
-    kernel = _make_kernel(chunk, t_pad, b2, h)
+    kernel = _make_kernel(chunk, t_pad, b2, h, sd=sd)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), sd),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # gx stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -169,8 +192,8 @@ def lstm_scan_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h * 4), jnp.float32),  # gx double buf
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),  # out double buf
+            pltpu.VMEM((2, chunk, b2, h * 4), sd),  # gx double buf
+            pltpu.VMEM((2, chunk, b2, h), sd),  # out double buf
             pltpu.VMEM((b2, h), jnp.float32),  # h
             pltpu.VMEM((b2, h), jnp.float32),  # c
             pltpu.SemaphoreType.DMA((2,)),
@@ -178,7 +201,7 @@ def lstm_scan_pallas(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx.astype(jnp.float32), w_hh[0], w_hh[1])
+    )(gx.astype(sd), w_hh[0], w_hh[1])
     return out[:t_max]
 
 
@@ -194,12 +217,13 @@ def lstm_bidir_pallas(
     ``models.rnn._scan_bidir_fused`` full-padded-length semantics."""
     t, b, _ = x.shape
     h = w_hh.shape[1]
+    sd = stream_dtype_for(compute_dtype, 2 * b)
     xr = jnp.flip(x, axis=0)
     x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
     gx = jax.lax.dot_general(
         x2, w_ih.astype(compute_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sd,
     ).reshape(2, t, b, 4 * h)
     # stack directions on the batch axis: (T, 2B, 4H)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)
@@ -210,4 +234,4 @@ def lstm_bidir_pallas(
     )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(jnp.float32)

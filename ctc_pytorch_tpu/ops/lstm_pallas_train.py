@@ -41,7 +41,8 @@ from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, _lstm_cell, auto_ch
 # forward kernel: like lstm_pallas but also writes cell states
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
+def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int,
+                     sd=jnp.float32):
     n_chunks = t_max // chunk
     b = b2 // 2
 
@@ -89,8 +90,8 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                 hs, cs, _ = _lstm_cell(
                     gx_buf[slot, k], hs, cs, wf_ref, wb_ref, b, h
                 )
-                y_buf[slot, k] = hs
-                c_buf[slot, k] = cs
+                y_buf[slot, k] = hs.astype(sd)
+                c_buf[slot, k] = cs.astype(sd)
                 return hs, cs
 
             hs, cs = jax.lax.fori_loop(0, chunk, step, (h_scr[:], c_scr[:]))
@@ -117,7 +118,8 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 # backward kernel (emits dgx; dW_hh assembled outside)
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
+def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int,
+                     sd=jnp.float32):
     n_chunks = t_max // chunk
     b = b2 // 2
 
@@ -185,17 +187,17 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
             def step(kk, carry):
                 k = chunk - 1 - kk  # reverse within chunk
                 dh, dc = carry
-                c_prev = cprev_buf[k]
-                c_t = c_buf[k]
+                c_prev = cprev_buf[k].astype(jnp.float32)
+                c_t = c_buf[k].astype(jnp.float32)
                 dd = wf_ref.dtype
-                gates = gates_buf[slot, k]
+                gates = gates_buf[slot, k].astype(jnp.float32)
                 i = jax.nn.sigmoid(gates[:, :h])
                 f = jax.nn.sigmoid(gates[:, h:2 * h])
                 g = jnp.tanh(gates[:, 2 * h:3 * h])
                 o = jax.nn.sigmoid(gates[:, 3 * h:])
                 tc = jnp.tanh(c_t)
 
-                dh_t = dy_buf[k] + dh
+                dh_t = dy_buf[k].astype(jnp.float32) + dh
                 do = dh_t * tc
                 dct = dc + dh_t * o * (1.0 - tc * tc)
                 di = dct * g
@@ -207,7 +209,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                     dg * (1.0 - g * g),
                     do * o * (1.0 - o),
                 ], axis=1)  # (2B, 4H)
-                dgx_buf[slot, k] = dpre
+                dgx_buf[slot, k] = dpre.astype(sd)
                 # dh_{t-1}: contract dpre with W over the 4H axis, per dir
                 dh_f = jax.lax.dot_general(
                     dpre[:b].astype(dd), wf_ref[:],
@@ -255,12 +257,13 @@ def _pad_t(x, chunk):
 def _fwd_pallas(gx, w_hh, chunk, interpret):
     t_pad, b2, h4 = gx.shape
     h = h4 // 4
-    kernel = _make_fwd_kernel(chunk, t_pad, b2, h)
+    sd = gx.dtype
+    kernel = _make_fwd_kernel(chunk, t_pad, b2, h, sd=sd)
     ys, cs = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b2, h), sd),
+            jax.ShapeDtypeStruct((t_pad, b2, h), sd),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -272,9 +275,9 @@ def _fwd_pallas(gx, w_hh, chunk, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),
+            pltpu.VMEM((2, chunk, b2, h4), sd),
+            pltpu.VMEM((2, chunk, b2, h), sd),
+            pltpu.VMEM((2, chunk, b2, h), sd),
             pltpu.VMEM((b2, h), jnp.float32),
             pltpu.VMEM((b2, h), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -290,10 +293,11 @@ def _fwd_pallas(gx, w_hh, chunk, interpret):
 def _bwd_pallas(gates, w_hh, cs_shift, dy, chunk, interpret):
     t_pad, b2, h4 = gates.shape
     h = h4 // 4
-    kernel = _make_bwd_kernel(chunk, t_pad, b2, h)
+    sd = gates.dtype
+    kernel = _make_bwd_kernel(chunk, t_pad, b2, h, sd=sd)
     dgx = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h4), sd),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # gates
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wf
@@ -303,11 +307,11 @@ def _bwd_pallas(gates, w_hh, cs_shift, dy, chunk, interpret):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # gates (double)
-            pltpu.VMEM((chunk, b2, h), jnp.float32),  # c_prev (single)
-            pltpu.VMEM((chunk, b2, h), jnp.float32),  # c_t (single)
-            pltpu.VMEM((chunk, b2, h), jnp.float32),  # dy (single)
-            pltpu.VMEM((2, chunk, b2, h4), jnp.float32),  # dgx out (double)
+            pltpu.VMEM((2, chunk, b2, h4), sd),  # gates (double)
+            pltpu.VMEM((chunk, b2, h), sd),  # c_prev (single)
+            pltpu.VMEM((chunk, b2, h), sd),  # c_t (single)
+            pltpu.VMEM((chunk, b2, h), sd),  # dy (single)
+            pltpu.VMEM((2, chunk, b2, h4), sd),  # dgx out (double)
             pltpu.VMEM((b2, h), jnp.float32),  # dh carry
             pltpu.VMEM((b2, h), jnp.float32),  # dc carry
             pltpu.SemaphoreType.DMA((5,)),
@@ -328,7 +332,8 @@ def lstm_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
 
 def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
     interp = _auto_interpret(interpret)
-    gx_p, t = _pad_t(gx.astype(jnp.float32), fwd_chunk)
+    # stream dtype follows gx.dtype (bf16 streams halve kernel HBM traffic)
+    gx_p, t = _pad_t(gx, fwd_chunk)
     ys, cs = _fwd_pallas(gx_p, w_hh, fwd_chunk, interp)
     return ys[:t], (gx_p, w_hh, ys, cs, t)
 
@@ -362,31 +367,33 @@ def _join_halves(d1, d2, b):
 def _bwd_rule(fwd_chunk, bwd_chunk, interpret, bwd_split, res, dy):
     gx_p, w_hh, ys, cs, t = res
     interp = _auto_interpret(interpret)
+    sd = gx_p.dtype
     t_fwd = gx_p.shape[0]
     b2 = gx_p.shape[1]
     h = w_hh.shape[1]
     # re-pad to the backward chunk size
     pad_b = (-t_fwd) % bwd_chunk
     t_pad = t_fwd + pad_b
-    zeros1 = jnp.zeros((1, b2, h), jnp.float32)
+    zeros1 = jnp.zeros((1, b2, h), sd)
     ys_prev = jnp.concatenate([zeros1, ys[:-1]], axis=0)  # row t = h_{t-1}
     cs_shift = jnp.concatenate([zeros1, cs], axis=0)  # row t+1 = c_t
     if pad_b:
         gx_p = jnp.pad(gx_p, ((0, pad_b), (0, 0), (0, 0)))
         ys_prev = jnp.pad(ys_prev, ((0, pad_b), (0, 0), (0, 0)))
         cs_shift = jnp.pad(cs_shift, ((0, pad_b), (0, 0), (0, 0)))
-    dy_p = jnp.zeros((t_pad,) + dy.shape[1:], jnp.float32).at[:t].set(dy)
+    dy_p = jnp.zeros((t_pad,) + dy.shape[1:], sd).at[:t].set(dy.astype(sd))
     # hoist the recurrent-gate recompute out of the kernel: every h_prev is
     # in the residuals, so hh = h_prev @ W_hh is one large batched matmul
     # here (MXU-efficient) instead of T sequential dots inside the kernel
     b = b2 // 2
     hh = jax.lax.dot_general(
         jnp.stack([ys_prev[:, :b], ys_prev[:, b:]]),  # (2, T, B, H)
-        w_hh,
+        w_hh.astype(sd),
         dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (2, T, B, 4H)
-    gates = gx_p + jnp.concatenate([hh[0], hh[1]], axis=1)
+    gates = (gx_p.astype(jnp.float32)
+             + jnp.concatenate([hh[0], hh[1]], axis=1)).astype(sd)
     if bwd_split:
         # two half-batch kernel calls (expert escape hatch; measured slower
         # than one chunk=1 full-batch call at flagship shapes — see wrapper)
@@ -415,7 +422,7 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, bwd_split, res, dy):
 lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _bwd_auto_chunk(b2, h, w_bytes, budget=None):
+def _bwd_auto_chunk(b2, h, w_bytes, budget=None, elem_bytes=4):
     if budget is None:
         budget = _BWD_BUDGET
     """gates+dgx double-buffered (8H units), three single-buffered H streams.
@@ -425,7 +432,7 @@ def _bwd_auto_chunk(b2, h, w_bytes, budget=None):
     """
     carries = 4 * b2 * h * 4
     for c in (8, 4, 2, 1):
-        bytes_ = 2 * c * b2 * 8 * h * 4 + 3 * c * b2 * h * 4
+        bytes_ = (2 * c * b2 * 8 * h + 3 * c * b2 * h) * elem_bytes
         if bytes_ + w_bytes + carries <= budget:
             return c
     return 0
@@ -448,17 +455,21 @@ def lstm_bidir_train(
     ``models.rnn._scan_bidir_fused`` (full-padded-length reversal)."""
     t, b, _ = x.shape
     h = w_hh.shape[1]
+    from ctc_pytorch_tpu.ops.lstm_pallas import stream_dtype_for
+
+    sd = stream_dtype_for(compute_dtype, 2 * b)
     xr = jnp.flip(x, axis=0)
     x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
     gx = jax.lax.dot_general(
         x2, w_ih.astype(compute_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sd,
     ).reshape(2, t, b, 4 * h)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)  # (T, 2B, 4H)
     # kernel weights stay fp32 (validated on v5e); bf16 dots are opt-in
     h4 = 4 * h
     w_bytes = 2 * h * h4 * 4
+    sd_bytes = jnp.dtype(sd).itemsize
     # bwd_split (two half-batch backward calls) is NOT a chunk-size
     # optimisation: at the flagship shape a half-batch chunk=2 backward
     # measures WORSE than one full-batch chunk=1 call (5.8 ms vs 5.4 ms on
@@ -467,10 +478,11 @@ def lstm_bidir_train(
     # makes those shapes runnable.
     bwd_split = False
     if chunk is None:
-        fwd_chunk = auto_chunk(2 * b, h, 6, weights_bytes=w_bytes)
-        bwd_chunk = _bwd_auto_chunk(2 * b, h, w_bytes)
+        fwd_chunk = auto_chunk(2 * b, h, 6, weights_bytes=w_bytes,
+                               elem_bytes=sd_bytes)
+        bwd_chunk = _bwd_auto_chunk(2 * b, h, w_bytes, elem_bytes=sd_bytes)
         if bwd_chunk == 0 and (2 * b) % 16 == 0:
-            half_chunk = _bwd_auto_chunk(b, h, w_bytes)
+            half_chunk = _bwd_auto_chunk(b, h, w_bytes, elem_bytes=sd_bytes)
             if half_chunk >= 1:
                 bwd_split, bwd_chunk = True, half_chunk
         bwd_chunk = max(bwd_chunk, 1)
@@ -482,4 +494,4 @@ def lstm_bidir_train(
     )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(jnp.float32)
