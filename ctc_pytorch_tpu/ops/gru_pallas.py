@@ -28,13 +28,15 @@ def _gru_cell(gx_row, hs, wf_ref, wb_ref, b: int, h: int):
     hh_b = jnp.dot(hs[b:].astype(dd), wb_ref[:],
                    preferred_element_type=jnp.float32)
     hh = jnp.concatenate([hh_f, hh_b], axis=0)
+    gx_row = gx_row.astype(jnp.float32)
     r = jax.nn.sigmoid(gx_row[:, :h] + hh[:, :h])
     z = jax.nn.sigmoid(gx_row[:, h:2 * h] + hh[:, h:2 * h])
     n = jnp.tanh(gx_row[:, 2 * h:] + r * hh[:, 2 * h:])
     return (1.0 - z) * n + z * hs
 
 
-def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
+def _make_kernel(chunk: int, t_max: int, b2: int, h: int,
+                 sd=jnp.float32):
     n_chunks = t_max // chunk
     b = b2 // 2
 
@@ -71,7 +73,7 @@ def _make_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             def step(k, hs):
                 hs = _gru_cell(gx_buf[slot, k], hs, wf_ref, wb_ref, b, h)
-                out_buf[slot, k] = hs
+                out_buf[slot, k] = hs.astype(sd)
                 return hs
 
             h_scr[:] = jax.lax.fori_loop(0, chunk, step, h_scr[:])
@@ -98,19 +100,21 @@ def gru_scan_pallas(
     interpret = _auto_interpret(interpret)
     t_max, b2, h3 = gx.shape
     h = h3 // 3
+    sd = gx.dtype if gx.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     if chunk is None:
         w_bytes = 2 * h * h3 * w_hh.dtype.itemsize
-        chunk = auto_chunk(b2, h, 4, weights_bytes=w_bytes)  # gx 3H + out 1H
+        chunk = auto_chunk(b2, h, 4, weights_bytes=w_bytes,
+                           elem_bytes=jnp.dtype(sd).itemsize)  # gx 3H + out 1H
     if t_max % chunk != 0:
         pad = chunk - t_max % chunk
         gx = jnp.pad(gx, ((0, pad), (0, 0), (0, 0)))
         t_pad = t_max + pad
     else:
         t_pad = t_max
-    kernel = _make_kernel(chunk, t_pad, b2, h)
+    kernel = _make_kernel(chunk, t_pad, b2, h, sd=sd)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), sd),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -118,15 +122,15 @@ def gru_scan_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h3), jnp.float32),
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),
+            pltpu.VMEM((2, chunk, b2, h3), sd),
+            pltpu.VMEM((2, chunk, b2, h), sd),
             pltpu.VMEM((b2, h), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(gx.astype(jnp.float32), w_hh[0].astype(jnp.float32),
+    )(gx.astype(sd), w_hh[0].astype(jnp.float32),
       w_hh[1].astype(jnp.float32))
     return out[:t_max]
 
@@ -142,15 +146,18 @@ def gru_bidir_pallas(
     """(T, B, F) -> (T, B, 2H), matching ``_scan_bidir_fused`` for GRU."""
     t, b, _ = x.shape
     h = w_hh.shape[1]
+    from ctc_pytorch_tpu.ops.lstm_pallas import stream_dtype_for
+
+    sd = stream_dtype_for(compute_dtype, 2 * b)
     xr = jnp.flip(x, axis=0)
     x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
     gx = jax.lax.dot_general(
         x2, w_ih.astype(compute_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sd,
     ).reshape(2, t, b, 3 * h)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)
     ys = gru_scan_pallas(gx, w_hh, chunk=chunk, interpret=interpret)
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(jnp.float32)

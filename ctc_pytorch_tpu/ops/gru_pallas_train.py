@@ -45,7 +45,8 @@ from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, auto_chunk
 # so the train path controls its own chunking
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
+def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int,
+                     sd=jnp.float32):
     n_chunks = t_max // chunk
     b = b2 // 2
 
@@ -82,7 +83,7 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             def step(k, hs):
                 hs = _gru_cell(gx_buf[slot, k], hs, wf_ref, wb_ref, b, h)
-                y_buf[slot, k] = hs
+                y_buf[slot, k] = hs.astype(sd)
                 return hs
 
             h_scr[:] = jax.lax.fori_loop(0, chunk, step, h_scr[:])
@@ -104,7 +105,8 @@ def _make_fwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 # backward kernel (emits [dgx | dhh_n]; dW_hh assembled outside)
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
+def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int,
+                     sd=jnp.float32):
     n_chunks = t_max // chunk
     b = b2 // 2
 
@@ -157,20 +159,20 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
 
             def step(kk, dh):
                 k = chunk - 1 - kk  # reverse within chunk
-                h_prev = yprev_buf[k]
+                h_prev = yprev_buf[k].astype(jnp.float32)
                 dd = wf_ref.dtype
                 hh_f = jnp.dot(h_prev[:b].astype(dd), wf_ref[:],
                                preferred_element_type=jnp.float32)
                 hh_b = jnp.dot(h_prev[b:].astype(dd), wb_ref[:],
                                preferred_element_type=jnp.float32)
                 hh = jnp.concatenate([hh_f, hh_b], axis=0)
-                gx_row = gx_buf[slot, k]
+                gx_row = gx_buf[slot, k].astype(jnp.float32)
                 r = jax.nn.sigmoid(gx_row[:, :h] + hh[:, :h])
                 z = jax.nn.sigmoid(gx_row[:, h:2 * h] + hh[:, h:2 * h])
                 hh_n = hh[:, 2 * h:]
                 n = jnp.tanh(gx_row[:, 2 * h:] + r * hh_n)
 
-                dh_t = dy_buf[k] + dh
+                dh_t = dy_buf[k].astype(jnp.float32) + dh
                 dz = dh_t * (h_prev - n)
                 dn = dh_t * (1.0 - z)
                 dpre_n = dn * (1.0 - n * n)
@@ -180,7 +182,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int):
                 dhh_n = dpre_n * r
                 dout_buf[slot, k] = jnp.concatenate(
                     [dpre_r, dpre_z, dpre_n, dhh_n], axis=1
-                )  # (2B, 4H): first 3 planes = d gx, last = d hh_n
+                ).astype(sd)  # (2B, 4H): first 3 planes = d gx, last = d hh_n
                 # dh_{t-1} = [dpre_r, dpre_z, dhh_n] @ W^T + dh_t * z
                 dhh = jnp.concatenate([dpre_r, dpre_z, dhh_n], axis=1)
                 dh_f = jax.lax.dot_general(
@@ -225,10 +227,11 @@ def _pad_t(x, chunk):
 def _fwd_pallas(gx, w_hh, chunk, interpret):
     t_pad, b2, h3 = gx.shape
     h = h3 // 3
-    kernel = _make_fwd_kernel(chunk, t_pad, b2, h)
+    sd = gx.dtype
+    kernel = _make_fwd_kernel(chunk, t_pad, b2, h, sd=sd)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, h), sd),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -236,8 +239,8 @@ def _fwd_pallas(gx, w_hh, chunk, interpret):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h3), jnp.float32),
-            pltpu.VMEM((2, chunk, b2, h), jnp.float32),
+            pltpu.VMEM((2, chunk, b2, h3), sd),
+            pltpu.VMEM((2, chunk, b2, h), sd),
             pltpu.VMEM((b2, h), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -250,10 +253,11 @@ def _fwd_pallas(gx, w_hh, chunk, interpret):
 def _bwd_pallas(gx, w_hh, ys_prev, dy, chunk, interpret):
     t_pad, b2, h3 = gx.shape
     h = h3 // 3
-    kernel = _make_bwd_kernel(chunk, t_pad, b2, h)
+    sd = gx.dtype
+    kernel = _make_bwd_kernel(chunk, t_pad, b2, h, sd=sd)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t_pad, b2, 4 * h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b2, 4 * h), sd),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # gx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wf
@@ -263,10 +267,10 @@ def _bwd_pallas(gx, w_hh, ys_prev, dy, chunk, interpret):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, b2, h3), jnp.float32),  # gx (double)
-            pltpu.VMEM((chunk, b2, h), jnp.float32),  # y_prev (single)
-            pltpu.VMEM((chunk, b2, h), jnp.float32),  # dy (single)
-            pltpu.VMEM((2, chunk, b2, 4 * h), jnp.float32),  # out (double)
+            pltpu.VMEM((2, chunk, b2, h3), sd),  # gx (double)
+            pltpu.VMEM((chunk, b2, h), sd),  # y_prev (single)
+            pltpu.VMEM((chunk, b2, h), sd),  # dy (single)
+            pltpu.VMEM((2, chunk, b2, 4 * h), sd),  # out (double)
             pltpu.VMEM((b2, h), jnp.float32),  # dh carry
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -285,7 +289,7 @@ def gru_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
 
 def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
     interp = _auto_interpret(interpret)
-    gx_p, t = _pad_t(gx.astype(jnp.float32), fwd_chunk)
+    gx_p, t = _pad_t(gx, fwd_chunk)
     ys = _fwd_pallas(gx_p, w_hh, fwd_chunk, interp)
     return ys[:t], (gx_p, w_hh, ys, t)
 
@@ -298,17 +302,18 @@ def _fwd_rule(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
 def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
     gx_p, w_hh, ys, t = res
     interp = _auto_interpret(interpret)
+    sd = gx_p.dtype
     t_fwd = gx_p.shape[0]
     b2 = gx_p.shape[1]
     h = w_hh.shape[1]
     pad_b = (-t_fwd) % bwd_chunk
     t_pad = t_fwd + pad_b
-    zeros1 = jnp.zeros((1, b2, h), jnp.float32)
+    zeros1 = jnp.zeros((1, b2, h), sd)
     ys_prev = jnp.concatenate([zeros1, ys[:-1]], axis=0)  # row t = h_{t-1}
     if pad_b:
         gx_p = jnp.pad(gx_p, ((0, pad_b), (0, 0), (0, 0)))
         ys_prev = jnp.pad(ys_prev, ((0, pad_b), (0, 0), (0, 0)))
-    dy_p = jnp.zeros((t_pad, b2, h), jnp.float32).at[:t].set(dy)
+    dy_p = jnp.zeros((t_pad, b2, h), sd).at[:t].set(dy.astype(sd))
     dout = _bwd_pallas(gx_p, w_hh, ys_prev, dy_p, bwd_chunk, interp)
     dgx = dout[:t_fwd, :, : 3 * h]
     # dW_hh[d] = sum_t h_prev[t]^T [dpre_r, dpre_z, dhh_n][t]
@@ -327,11 +332,12 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, res, dy):
 gru_scan_train.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _gru_bwd_auto_chunk(b2, h, w_bytes, budget=13 * 1024 * 1024):
+def _gru_bwd_auto_chunk(b2, h, w_bytes, budget=13 * 1024 * 1024,
+                        elem_bytes=4):
     """gx (3H) + out (4H) double-buffered, two single-buffered H streams."""
     carries = 2 * b2 * h * 4
     for c in (8, 4, 2, 1):
-        bytes_ = 2 * c * b2 * 7 * h * 4 + 2 * c * b2 * h * 4
+        bytes_ = (2 * c * b2 * 7 * h + 2 * c * b2 * h) * elem_bytes
         if bytes_ + w_bytes + carries <= budget:
             return c
     return 1
@@ -349,18 +355,24 @@ def gru_bidir_train(
     ``models.rnn._scan_bidir_fused`` (full-padded-length reversal)."""
     t, b, _ = x.shape
     h = w_hh.shape[1]
+    from ctc_pytorch_tpu.ops.lstm_pallas import stream_dtype_for
+
+    sd = stream_dtype_for(compute_dtype, 2 * b)
     xr = jnp.flip(x, axis=0)
     x2 = jnp.stack([x, xr]).reshape(2, t * b, -1).astype(compute_dtype)
     gx = jax.lax.dot_general(
         x2, w_ih.astype(compute_dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sd,
     ).reshape(2, t, b, 3 * h)
     gx = jnp.concatenate([gx[0], gx[1]], axis=1)  # (T, 2B, 3H)
     w_bytes = 2 * h * 3 * h * 4
+    sd_bytes = jnp.dtype(sd).itemsize
     if chunk is None:
-        fwd_chunk = auto_chunk(2 * b, h, 4, weights_bytes=w_bytes)
-        bwd_chunk = _gru_bwd_auto_chunk(2 * b, h, w_bytes)
+        fwd_chunk = auto_chunk(2 * b, h, 4, weights_bytes=w_bytes,
+                               elem_bytes=sd_bytes)
+        bwd_chunk = _gru_bwd_auto_chunk(2 * b, h, w_bytes,
+                                        elem_bytes=sd_bytes)
     else:
         fwd_chunk, bwd_chunk = chunk, max(chunk // 2, 1)
     ys = gru_scan_train(
@@ -368,4 +380,4 @@ def gru_bidir_train(
     )
     fwd = ys[:, :b]
     bwd = jnp.flip(ys[:, b:], axis=0)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    return jnp.concatenate([fwd, bwd], axis=-1).astype(jnp.float32)
