@@ -236,7 +236,7 @@ def rnn_layer_apply(
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
     use_pallas_here = (
-        "bwd" in params and pallas and cell in ("lstm", "gru")
+        "bwd" in params and pallas and cell in ("lstm", "gru", "rnn")
         and lengths is None
     )
     if use_pallas_here:
@@ -256,7 +256,12 @@ def rnn_layer_apply(
         # lighter forward-only kernels at eval (ops/{lstm,gru}_pallas*.py)
         w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
         w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
-        if cell == "gru" and train:
+        if cell == "rnn":
+            from ctc_pytorch_tpu.ops.rnn_pallas import rnn_bidir_pallas
+
+            out = rnn_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype,
+                                   train=train)
+        elif cell == "gru" and train:
             from ctc_pytorch_tpu.ops.gru_pallas_train import gru_bidir_train
 
             out = gru_bidir_train(x, w_ih, w_hh, compute_dtype=compute_dtype)
