@@ -40,6 +40,7 @@ def evaluate(
     if spec.rnn_cell in ("lstm", "gru") and spec.bidirectional:
         spec = dataclasses.replace(spec, use_pallas_rnn=True)
     test_ds = SpeechDataset(vocab, cfg.test_scp_path, cfg.test_lab_path, cfg)
+    test_ds.preload(cfg.num_workers)
     loader = SpeechDataLoader(
         test_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
     )

@@ -36,6 +36,10 @@ def main(argv=None):
     vocab = Vocab(cfg.vocab_file)
     train_ds = SpeechDataset(vocab, cfg.train_scp_path, cfg.train_lab_path, cfg)
     dev_ds = SpeechDataset(vocab, cfg.valid_scp_path, cfg.valid_lab_path, cfg)
+    # parallel cache fill (reference: DataLoader num_workers); the native
+    # ark loader (ark_native.cpp) releases the GIL per utterance
+    train_ds.preload(cfg.num_workers)
+    dev_ds.preload(cfg.num_workers)
     train_loader = SpeechDataLoader(
         train_ds, cfg.batch_size, shuffle=cfg.shuffle_train,
         num_buckets=cfg.num_buckets, seed=cfg.seed,

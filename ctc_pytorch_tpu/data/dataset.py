@@ -109,6 +109,33 @@ class SpeechDataset:
                 )
         return feat.astype(np.float32)
 
+    def _native_processed(self, rx: str):
+        """read+splice+skip+pad in one native pass (ark_native.cpp); None
+        when unavailable or the entry isn't an uncompressed BFM matrix."""
+        if self.feature_type == "waveform" or getattr(self.opts, "mel", False):
+            return None
+        from ctc_pytorch_tpu import native
+
+        return native.ark_load_processed_native(
+            rx, self.left_ctx, self.right_ctx, self.n_skip_frame,
+            self.n_downsample,
+        )
+
+    def preload(self, workers: int = 4) -> None:
+        """Fill the cache with `workers` threads (the reference's
+        ``num_workers`` DataLoader knob, ``timit/utils/data_loader.py:148``).
+        The native loader releases the GIL, so threads parallelise for real;
+        without it this still overlaps file IO."""
+        if self._cache is None:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [i for i in range(len(self)) if self._cache[i] is None]
+        if not todo:
+            return
+        with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+            list(pool.map(self.__getitem__, todo))
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, str]:
         if self._cache is not None and self._cache[idx] is not None:
             return self._cache[idx]
@@ -121,7 +148,9 @@ class SpeechDataset:
             if self._cache is not None:
                 self._cache[idx] = out
             return out
-        feat = self.process_feature(self.raw_feature(idx))
+        feat = self._native_processed(rx)
+        if feat is None:
+            feat = self.process_feature(self.raw_feature(idx))
         if getattr(self.opts, "mel", False):
             # F_Mel warping of the processed log spectrum (data_loader.py:111)
             from ctc_pytorch_tpu.frontend.fmel import f_mel

@@ -20,6 +20,7 @@ _log = logging.getLogger(__name__)
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "ctc_native.cpp"
+_SRC_ARK = _HERE / "ark_native.cpp"
 _LIB_PATH = _HERE / "libctc_native.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -30,7 +31,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB_PATH)],
+             str(_SRC), str(_SRC_ARK), "-o", str(_LIB_PATH)],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -49,7 +50,8 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        src_mtime = max(_SRC.stat().st_mtime, _SRC_ARK.stat().st_mtime)
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
             if not _build():
                 _build_failed = True
                 return None
@@ -74,6 +76,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.ark_dims.restype = ctypes.c_int32
+        lib.ark_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ark_load_processed.restype = ctypes.c_int32
+        lib.ark_load_processed.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
         ]
         _lib = lib
         return _lib
@@ -136,3 +149,42 @@ def ctc_beam_search_native(
         ctypes.byref(out_score),
     )
     return tuple(int(x) for x in out_seq[:n]), float(out_score.value)
+
+
+def ark_load_processed_native(
+    rxspec: str, left: int, right: int, skip: int, downsample: int,
+) -> Optional[np.ndarray]:
+    """Read an "ark:offset" BFM matrix and splice/skip/pad it natively.
+
+    Returns None when the native library is unavailable or the entry is not
+    an uncompressed float matrix — callers fall back to the python reader.
+    The ctypes call releases the GIL, so a ThreadPoolExecutor over
+    utterances gets real parallelism (SpeechDataset.preload).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if ":" in rxspec:
+        path, off_s = rxspec.rsplit(":", 1)
+        offset = int(off_s)
+    else:
+        path, offset = rxspec, 0
+    rows = ctypes.c_int32()
+    cols = ctypes.c_int32()
+    rc = lib.ark_dims(path.encode(), offset, ctypes.byref(rows),
+                      ctypes.byref(cols))
+    if rc != 0:
+        return None
+    skip = max(skip, 1)
+    downsample = max(downsample, 1)
+    rows_sk = (rows.value + skip - 1) // skip
+    rows_out = rows_sk + (-rows_sk) % downsample
+    cols_out = cols.value * (left + 1 + right)
+    out = np.empty((max(rows_out, 1), cols_out), np.float32)
+    got = lib.ark_load_processed(
+        path.encode(), offset, left, right, skip, downsample,
+        _ptr(out, ctypes.c_float), out.shape[0],
+    )
+    if got < 0:
+        return None
+    return out[:got]
