@@ -95,3 +95,101 @@ class Recognizer:
         )
         out = self.decoder.decode(np.asarray(log_probs), np.asarray(sizes))
         return [s.strip() for s in out]
+
+
+class StreamingRecognizer:
+    """Chunked/online decoding over a (bidirectional) Recognizer.
+
+    The reference model family is bidirectional (``rnn_type nn.LSTM,
+    bidirectional True`` — ``timit/conf/ctc_config.yaml:26-27``), so exact
+    frame-synchronous streaming is impossible; this implements the standard
+    chunk-rescoring pattern instead: audio accumulates in a ring buffer,
+    and every ``hop_seconds`` of new audio the model re-decodes the last
+    ``window_seconds``.  Tokens whose frames are older than the lookahead
+    margin are **committed** (never retracted); the tail stays provisional
+    until ``finish()``.
+
+    Buffers are padded to power-of-two sample counts so the jitted forward
+    compiles once per bucket, not per feed.
+    """
+
+    def __init__(self, recognizer: Recognizer, *, window_seconds: float = 10.0,
+                 hop_seconds: float = 0.5, lookahead_seconds: float = 0.4,
+                 sample_rate: int = 16000):
+        self.rec = recognizer
+        self.sr = sample_rate
+        self.window = int(window_seconds * sample_rate)
+        self.hop = int(hop_seconds * sample_rate)
+        self.lookahead = lookahead_seconds
+        self._buf = np.zeros(0, np.float32)
+        self._since_decode = 0
+        self._committed: List[str] = []
+        self._provisional: List[str] = []
+        self._consumed = 0  # samples dropped off the front of the buffer
+
+    def _decode_window(self, final: bool) -> None:
+        import jax.numpy as jnp
+
+        wav = self._buf[-self.window:] if len(self._buf) > self.window else self._buf
+        if len(wav) < self.sr // 50:  # <20 ms: nothing decodable yet
+            return
+        n = 1 << max(int(np.ceil(np.log2(len(wav)))), 12)
+        batch = np.zeros((1, n), np.float32)
+        batch[0, : len(wav)] = wav
+        lengths = np.asarray([len(wav)], np.int32)
+        log_probs, sizes = self.rec._forward(
+            self.rec.params, self.rec.mstate, jnp.asarray(batch),
+            jnp.asarray(lengths),
+        )
+        lp = np.asarray(log_probs)
+        t_valid = int(np.asarray(sizes)[0])
+        # frames-per-output ~= total samples / valid frames; commit tokens
+        # emitted before (t_valid - margin_frames)
+        hyp_tokens, frame_idx = self._greedy_with_frames(lp[:, 0, :], t_valid)
+        if final:
+            if len(self._buf) <= self.window:
+                # nothing ever slid out of the window: the fresh hypothesis
+                # covers the whole stream and supersedes the running state
+                self._committed = hyp_tokens
+            else:
+                self._committed += hyp_tokens[len(self._committed):]
+            self._provisional = []
+            return
+        secs_per_frame = (len(wav) / self.sr) / max(t_valid, 1)
+        margin = max(int(self.lookahead / max(secs_per_frame, 1e-6)), 1)
+        cut = t_valid - margin
+        stable = [t for t, fi in zip(hyp_tokens, frame_idx) if fi < cut]
+        if len(stable) > len(self._committed):
+            self._committed = stable
+        self._provisional = hyp_tokens[len(self._committed):]
+
+    def _greedy_with_frames(self, lp_tc: np.ndarray, t_valid: int):
+        """Greedy collapse keeping each emitted token's frame index."""
+        ids = np.argmax(lp_tc[:t_valid], axis=-1)
+        toks, frames = [], []
+        prev = 0
+        for i, c in enumerate(ids):
+            if c != 0 and c != prev:
+                toks.append(self.rec.vocab.index2word.get(int(c), "<UNK>"))
+                frames.append(i)
+            prev = int(c)
+        return toks, frames
+
+    def feed(self, samples: np.ndarray) -> str:
+        """Append audio; returns the current hypothesis (committed+tail)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._since_decode += len(samples)
+        if self._since_decode >= self.hop:
+            self._since_decode = 0
+            self._decode_window(final=False)
+        return " ".join(self._committed + self._provisional).strip()
+
+    def finish(self) -> str:
+        """Flush: decode everything buffered and return the final text."""
+        self._decode_window(final=True)
+        out = " ".join(self._committed).strip()
+        self._buf = np.zeros(0, np.float32)
+        self._committed, self._provisional = [], []
+        self._since_decode = 0
+        return out

@@ -54,3 +54,62 @@ def test_recognizer_end_to_end(tmp_path):
     for s in out2:
         for tok in s.split():
             assert tok in ("aa", "bb", "UNK")
+
+
+def test_streaming_recognizer_matches_batch(tmp_path):
+    """feed() in chunks + finish() == one-shot recognize on short audio."""
+    from ctc_pytorch_tpu.api import StreamingRecognizer
+
+    fe = WaveFrontendSpec(
+        frontend=FrontendConfig(num_mel_bins=12), left_ctx=0, right_ctx=0,
+        n_skip_frame=1,
+    )
+    pkg = _mini_package(tmp_path, fe)
+    vocab = Vocab.from_units(["aa", "bb"])
+    rec = Recognizer(pkg, vocab, frontend=fe)
+    rng = np.random.RandomState(3)
+    wav = (rng.randn(12000) * 500).astype(np.float32)
+
+    sr = StreamingRecognizer(rec, window_seconds=4.0, hop_seconds=0.2,
+                             lookahead_seconds=0.2)
+    partials = []
+    for start in range(0, len(wav), 1600):
+        partials.append(sr.feed(wav[start:start + 1600]))
+    final = sr.finish()
+    # audio never exceeded the window -> final must equal batch recognize
+    # on the same (bucket-padded) signal
+    n = 1 << int(np.ceil(np.log2(len(wav))))
+    batch = rec.recognize(wav, pad_multiple=n)[0]
+    assert final == batch
+    # committed prefixes never retract
+    sr2 = StreamingRecognizer(rec, window_seconds=4.0, hop_seconds=0.2,
+                              lookahead_seconds=0.2)
+    prev_committed = []
+    for start in range(0, len(wav), 3200):
+        sr2.feed(wav[start:start + 3200])
+        cur = list(sr2._committed)
+        assert cur[: len(prev_committed)] == prev_committed
+        prev_committed = cur
+
+
+def test_streaming_recognizer_long_stream(tmp_path):
+    """Stream longer than the window: finish() returns without error and
+    keeps the committed prefix."""
+    from ctc_pytorch_tpu.api import StreamingRecognizer
+
+    fe = WaveFrontendSpec(
+        frontend=FrontendConfig(num_mel_bins=12), left_ctx=0, right_ctx=0,
+        n_skip_frame=1,
+    )
+    pkg = _mini_package(tmp_path, fe)
+    vocab = Vocab.from_units(["aa", "bb"])
+    rec = Recognizer(pkg, vocab, frontend=fe)
+    rng = np.random.RandomState(5)
+    sr = StreamingRecognizer(rec, window_seconds=1.0, hop_seconds=0.25,
+                             lookahead_seconds=0.1)
+    for _ in range(10):
+        sr.feed((rng.randn(4000) * 500).astype(np.float32))
+    committed_before = list(sr._committed)
+    out = sr.finish()
+    assert isinstance(out, str)
+    assert out.split()[: len(committed_before)] == committed_before
