@@ -290,19 +290,26 @@ def bench_epoch() -> dict:
     n_utts = len(ds)
 
     out = {}
-    for wer_on in (True, False):
+    from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+
+    cached = DeviceCachedLoader(loader)
+    variants = [
+        ("_nower", loader, False),
+        ("_devcache", cached, True),
+        ("_devcache_nower", cached, False),
+    ]
+    for suffix, ld, wer_on in variants:
         # a warm pass per variant: compute_wer toggles the per-step greedy
         # decode, i.e. a different jitted program per bucket shape
-        state, _, _ = run_epoch(0, step_fns, state, loader, training=True,
+        state, _, _ = run_epoch(0, step_fns, state, ld, training=True,
                                 rng=rng, compute_wer=wer_on,
                                 log=lambda *a: None)
         t0 = _time.perf_counter()
-        state, _, loss = run_epoch(1, step_fns, state, loader, training=True,
+        state, _, loss = run_epoch(1, step_fns, state, ld, training=True,
                                    rng=rng, compute_wer=wer_on,
                                    log=lambda *a: None)
         dt = _time.perf_counter() - t0
-        key = "epoch_utts_per_sec" + ("" if wer_on else "_nower")
-        out[key] = n_utts / dt
+        out["epoch_utts_per_sec" + suffix] = n_utts / dt
     # stage-4: forward + on-device greedy over the same loader
     @jax.jit
     def fwd(feats):

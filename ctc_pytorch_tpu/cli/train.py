@@ -48,6 +48,15 @@ def main(argv=None):
         dev_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
         seed=cfg.seed,
     )
+    if cfg.device_cache and not args.data_parallel:
+        from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+
+        budget = cfg.device_cache_max_gb * (1 << 30)
+        cached = [DeviceCachedLoader(train_loader), DeviceCachedLoader(dev_loader)]
+        if sum(c.total_bytes() for c in cached) <= budget:
+            train_loader, dev_loader = cached
+        else:
+            log("device cache exceeds budget; streaming batches from host")
 
     # 863 configs declare num_class explicitly (blank added on top, matching
     # the reference's Linear(..., num_class+1)); otherwise the vocab decides

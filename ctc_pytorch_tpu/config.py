@@ -113,6 +113,11 @@ class Config:
     n_downsample: int = 2
     num_workers: int = 1
     shuffle_train: bool = True
+    # upload the (bucket-padded) dataset to HBM once and gather batches
+    # on device — kills per-step host->device transfer; auto-disabled when
+    # the cache would exceed device_cache_max_gb or under a mesh
+    device_cache: bool = True
+    device_cache_max_gb: float = 6.0
     feature_dim: int = 81
     output_class_dim: int = 39
     mel: bool = False

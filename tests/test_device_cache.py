@@ -1,0 +1,50 @@
+"""DeviceCachedLoader yields bit-identical batches to the host loader."""
+
+import numpy as np
+
+from ctc_pytorch_tpu.config import Config
+from ctc_pytorch_tpu.data.batching import DeviceCachedLoader, SpeechDataLoader
+from ctc_pytorch_tpu.data.dataset import SpeechDataset
+from ctc_pytorch_tpu.data.kaldi_io import ArkWriter
+from ctc_pytorch_tpu.vocab import Vocab
+
+
+def test_device_cache_equals_host_loader(tmp_path):
+    rng = np.random.RandomState(0)
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with ArkWriter(ark, scp) as w:
+        for i in range(23):
+            w.write(f"u{i:02d}",
+                    rng.randn(20 + rng.randint(60), 7).astype(np.float32))
+    (tmp_path / "units").write_text("a\nb\nc\n")
+    with open(tmp_path / "lab", "w") as f:
+        for i in range(23):
+            f.write(f"u{i:02d} " + " ".join(rng.choice(["a", "b", "c"], 4))
+                    + "\n")
+    cfg = Config()
+    cfg.left_ctx, cfg.right_ctx = 1, 1
+    cfg.n_skip_frame, cfg.n_downsample = 2, 2
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, scp, str(tmp_path / "lab"), cfg)
+    host = SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7)
+    dev = DeviceCachedLoader(
+        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7)
+    )
+    assert dev.total_bytes() > 0
+    for epoch in (0, 1):
+        host.set_epoch(epoch)
+        dev.set_epoch(epoch)
+        hb, db = list(host), list(dev)
+        assert len(hb) == len(db)
+        for h, d in zip(hb, db):
+            np.testing.assert_array_equal(h.feats, np.asarray(d.feats))
+            np.testing.assert_array_equal(h.labels, np.asarray(d.labels))
+            np.testing.assert_array_equal(h.input_lengths,
+                                          np.asarray(d.input_lengths))
+            np.testing.assert_allclose(h.input_frac,
+                                       np.asarray(d.input_frac), rtol=1e-6)
+            np.testing.assert_array_equal(h.example_mask,
+                                          np.asarray(d.example_mask))
+            np.testing.assert_array_equal(h.label_lengths,
+                                          np.asarray(d.label_lengths))
+            assert h.utts == d.utts
