@@ -125,6 +125,24 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
     return train_jit, eval_jit
 
 
+@jax.jit
+def _device_token_errors(greedy_idx, input_sizes, labels, label_lens, mask):
+    """Greedy collapse + edit distance + masked sums, all on device.
+
+    Per-step WER with ZERO host fetches: the epoch loop accumulates the
+    returned (errs, toks) device scalars and fetches once per print/epoch.
+    (The host variant below cost two device->host round-trips per step,
+    which dominated the WER-on epoch rate on high-latency rigs.)"""
+    from ctc_pytorch_tpu.ops.editdistance import padded_edit_distance_device
+
+    tokens, lens = greedy_collapse(greedy_idx, input_sizes)
+    dists = padded_edit_distance_device(labels, label_lens, tokens, lens)
+    keep = mask > 0
+    errs = jnp.sum(jnp.where(keep, dists, 0))
+    toks = jnp.sum(jnp.where(keep, label_lens, 0))
+    return errs, toks
+
+
 def _batch_token_errors(greedy_idx, input_sizes, labels, label_lens, mask,
                         blank=0):
     """Greedy collapse on device, edit distance on host (compute_wer)."""
@@ -161,8 +179,8 @@ def run_epoch(
     train_jit, eval_jit = step_fns
     device_losses = []  # defer host syncs: fetch only at print/epoch points
     cur_start = 0
-    total_errs = 0
-    total_tokens = 1e-9
+    total_errs = jnp.zeros((), jnp.int32)  # device accumulators
+    total_tokens = jnp.zeros((), jnp.int32)
     n_batches = 0
     for i, batch in enumerate(loader):
         feats = jnp.asarray(batch.feats)
@@ -185,12 +203,13 @@ def run_epoch(
         device_losses.append(loss)
         n_batches += 1
         if compute_wer:
-            errs, toks = _batch_token_errors(
-                greedy_idx, input_sizes, batch.labels, batch.label_lengths,
-                batch.example_mask,
+            errs, toks = _device_token_errors(
+                greedy_idx, input_sizes, jnp.asarray(batch.labels),
+                jnp.asarray(batch.label_lengths),
+                jnp.asarray(batch.example_mask),
             )
-            total_errs += errs
-            total_tokens += toks
+            total_errs = total_errs + errs
+            total_tokens = total_tokens + toks
         if training and (i + 1) % print_every == 0:
             vals = [float(l) for l in device_losses[cur_start:]]
             total_so_far = sum(float(l) for l in device_losses[:cur_start]) + sum(vals)
@@ -198,12 +217,12 @@ def run_epoch(
                 f"Epoch = {epoch_id}, step = {i + 1}, "
                 f"cur_loss = {sum(vals) / max(len(vals), 1):.4f}, "
                 f"total_loss = {total_so_far / (i + 1):.4f}, "
-                f"total_wer = {total_errs / total_tokens:.4f}"
+                f"total_wer = {float(total_errs) / (float(total_tokens) + 1e-9):.4f}"
             )
             cur_start = len(device_losses)
     total_loss = sum(float(l) for l in device_losses)
     avg_loss = total_loss / max(n_batches, 1)
-    acc = 1.0 - total_errs / total_tokens
+    acc = 1.0 - float(total_errs) / (float(total_tokens) + 1e-9)
     tag = "Train" if training else "Valid"
     log(f"Epoch {epoch_id} {tag} done, total_loss: {avg_loss:.4f}, "
         f"total_wer: {1.0 - acc:.4f}")
