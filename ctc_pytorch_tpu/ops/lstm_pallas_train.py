@@ -390,10 +390,9 @@ def _bwd_rule(fwd_chunk, bwd_chunk, interpret, bwd_split, res, dy):
         jnp.stack([ys_prev[:, :b], ys_prev[:, b:]]),  # (2, T, B, H)
         w_hh.astype(sd),
         dimension_numbers=(((3,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sd,  # stream dtype: halves the plane traffic
     )  # (2, T, B, 4H)
-    gates = (gx_p.astype(jnp.float32)
-             + jnp.concatenate([hh[0], hh[1]], axis=1)).astype(sd)
+    gates = gx_p + jnp.concatenate([hh[0], hh[1]], axis=1)
     if bwd_split:
         # two half-batch kernel calls (expert escape hatch; measured slower
         # than one chunk=1 full-batch call at flagship shapes — see wrapper)
