@@ -17,5 +17,21 @@ A from-scratch rebuild of the capabilities of Diamondfan/CTC_pytorch
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some images preload jax._src at interpreter startup, which captures
+    # JAX_PLATFORMS before user env handling — the variable then silently
+    # does nothing and "CPU-only" subprocesses (e.g. the parity harness
+    # with --cpu) end up queueing on the TPU.  Re-assert the requested
+    # platform via config, which works as long as no backend is
+    # initialised yet.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialised
+        pass
+
 from ctc_pytorch_tpu.config import Config, load_config  # noqa: F401
 from ctc_pytorch_tpu.vocab import Vocab  # noqa: F401
