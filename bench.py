@@ -335,12 +335,66 @@ def bench_epoch() -> dict:
     return out
 
 
+def bench_863(cell: str = "lstm", steps: int = 20, warmup: int = 4) -> float:
+    """863 Mandarin flagship step rate: 201-d spectrum -> fixed conv
+    1->16ch (11,5) s(2,2) Hardtanh(0,20) -> 4x Bi-RNN(256) -> 67 classes
+    (``my_863_corpus/steps/model.py:168-234``); exercises the GRU/LSTM
+    Pallas train kernels at H=256."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+    from ctc_pytorch_tpu.train.loop import make_step_fns
+    from ctc_pytorch_tpu.train.state import create_train_state
+
+    b, t, f, l, n_class = 128, 200, 201, 40, 67
+    cfg = Config()
+    cfg.rnn_input_size = f
+    cfg.rnn_hidden_size = 256
+    cfg.rnn_layers = 4
+    cfg.rnn_type = cell
+    cfg.drop_out = 0.0
+    cfg.dtype = "bfloat16"
+    cfg.cnn = CNNConfig(
+        add_cnn=True, layers=1, channel=[(1, 16)], kernel_size=[(11, 5)],
+        stride=[(2, 2)], padding=[(0, 0)], pooling=None,
+        activation_function="hardtanh",
+    )
+    spec = dataclasses.replace(
+        ModelSpec.from_config(cfg, num_class=n_class), use_pallas_rnn=True
+    )
+    state, tx = create_train_state(jax.random.PRNGKey(0), spec, 1e-3, 0.0)
+    train_jit, _ = make_step_fns(spec, tx, ctc_impl="pallas")
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(b, t, f).astype(np.float32))
+    frac = jnp.asarray(np.full(b, 0.95, np.float32))
+    labels = jnp.asarray(rng.randint(1, n_class, size=(b, l)).astype(np.int32))
+    label_lens = jnp.asarray(np.full(b, l, np.int32))
+    mask = jnp.ones((b,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, loss, _, _ = train_jit(state, feats, frac, labels, label_lens,
+                                      mask, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _, _ = train_jit(state, feats, frac, labels, label_lens,
+                                      mask, key)
+    float(loss)
+    return steps * b / (time.perf_counter() - t0)
+
+
 def main(extra: bool = False) -> None:
     ours = bench_ours()
     baseline = get_baseline()
     if extra:
         extras = bench_decode_rtf()
         extras.update(bench_epoch())
+        extras["train_863_cnn_lstm_utts_per_sec"] = bench_863("lstm")
+        extras["train_863_cnn_gru_utts_per_sec"] = bench_863("gru")
         extras["train_utts_per_sec"] = ours
         extras["torch_cpu_utts_per_sec"] = baseline
         Path(__file__).parent.joinpath("BENCH_EXTRA.json").write_text(

@@ -271,12 +271,39 @@ def rnn_layer_apply(
             out = gru_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype)
         elif train:
             from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_bidir_train
+            from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import (
+                lstm_bidir_train_v2,
+                train_v2_ok,
+            )
 
-            out = lstm_bidir_train(x, w_ih, w_hh, compute_dtype=compute_dtype)
+            if train_v2_ok(x.shape[0], x.shape[1], hidden_size,
+                           compute_dtype):
+                # v2 layout: in-kernel time reversal + un-hoisted backward
+                # gates — no wrapper plane copies (2.11 -> 1.56 ms/layer)
+                out = lstm_bidir_train_v2(
+                    x, w_ih, w_hh, compute_dtype=compute_dtype
+                )
+            else:
+                out = lstm_bidir_train(
+                    x, w_ih, w_hh, compute_dtype=compute_dtype
+                )
         else:
             from ctc_pytorch_tpu.ops.lstm_pallas import lstm_bidir_pallas
+            from ctc_pytorch_tpu.ops.lstm_pallas_v2 import (
+                lstm_bidir_pallas_v2,
+                v2_ok,
+            )
 
-            out = lstm_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype)
+            if v2_ok(x.shape[0], x.shape[1], hidden_size):
+                # v2 layout: in-kernel time reversal, no flip/concat plane
+                # copies — bit-exact vs v1 and ~3x faster layer forward
+                out = lstm_bidir_pallas_v2(
+                    x, w_ih, w_hh, compute_dtype=compute_dtype
+                )
+            else:
+                out = lstm_bidir_pallas(
+                    x, w_ih, w_hh, compute_dtype=compute_dtype
+                )
     elif "bwd" in params:
         out = _scan_bidir_fused(
             params, x, cell, hidden_size, compute_dtype, lengths=lengths
