@@ -261,14 +261,23 @@ def rnn_layer_apply(
 
             out = rnn_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype,
                                    train=train)
-        elif cell == "gru" and train:
-            from ctc_pytorch_tpu.ops.gru_pallas_train import gru_bidir_train
-
-            out = gru_bidir_train(x, w_ih, w_hh, compute_dtype=compute_dtype)
         elif cell == "gru":
             from ctc_pytorch_tpu.ops.gru_pallas import gru_bidir_pallas
+            from ctc_pytorch_tpu.ops.gru_pallas_train import gru_bidir_train
+            from ctc_pytorch_tpu.ops.gru_pallas_v2 import (
+                gru_bidir_v2,
+                gru_v2_ok,
+            )
 
-            out = gru_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype)
+            if gru_v2_ok(x.shape[0], x.shape[1], hidden_size, compute_dtype):
+                out = gru_bidir_v2(x, w_ih, w_hh,
+                                   compute_dtype=compute_dtype, train=train)
+            elif train:
+                out = gru_bidir_train(x, w_ih, w_hh,
+                                      compute_dtype=compute_dtype)
+            else:
+                out = gru_bidir_pallas(x, w_ih, w_hh,
+                                       compute_dtype=compute_dtype)
         elif train:
             from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_bidir_train
             from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import (
