@@ -29,7 +29,12 @@ if _os.environ.get("JAX_PLATFORMS"):
     try:
         import jax as _jax
 
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        # Only act when the captured config DISAGREES with the env: the
+        # preloaded-jax capture holds the launch-time value, so a changed
+        # env var is being ignored.  When they agree (e.g. dryrun_multichip
+        # already forced cpu and the driver env says cpu) this is a no-op.
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:  # pragma: no cover - backend already initialised
         pass
 
