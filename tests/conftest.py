@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ["JAX_PLATFORMS"] = "cpu"  # keep the package env-honor shim aligned
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
