@@ -48,15 +48,7 @@ def main(argv=None):
         dev_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
         seed=cfg.seed,
     )
-    if cfg.device_cache and not args.data_parallel:
-        from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
-
-        budget = cfg.device_cache_max_gb * (1 << 30)
-        cached = [DeviceCachedLoader(train_loader), DeviceCachedLoader(dev_loader)]
-        if sum(c.total_bytes() for c in cached) <= budget:
-            train_loader, dev_loader = cached
-        else:
-            log("device cache exceeds budget; streaming batches from host")
+    # device cache is wired after the (optional) mesh exists below
 
     # 863 configs declare num_class explicitly (blank added on top, matching
     # the reference's Linear(..., num_class+1)); otherwise the vocab decides
@@ -70,6 +62,16 @@ def main(argv=None):
 
         if len(jax.devices()) > 1:
             mesh = make_mesh()
+    if cfg.device_cache:
+        from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+
+        budget = cfg.device_cache_max_gb * (1 << 30)
+        cached = [DeviceCachedLoader(train_loader, mesh=mesh),
+                  DeviceCachedLoader(dev_loader, mesh=mesh)]
+        if sum(c.total_bytes() for c in cached) <= budget:
+            train_loader, dev_loader = cached
+        else:
+            log("device cache exceeds budget; streaming batches from host")
     frontend_fn = None
     if cfg.feature_type == "waveform":
         # waveform-in end-to-end: the frontend runs inside the train step

@@ -224,15 +224,36 @@ class DeviceCachedLoader:
     composition is identical).  Falls back is the caller's choice: construct
     only when ``total_bytes()`` fits HBM alongside the model.
 
-    Single-device path (the mesh path shards batches per host instead).
+    With a ``mesh``, bucket arrays are replicated across the data axis
+    and every batch gather is jitted with a batch-sharded out_sharding —
+    each chip gathers its own rows locally, so data-parallel training
+    also skips per-step host transfers.
     """
 
-    def __init__(self, loader: "SpeechDataLoader"):
+    def __init__(self, loader: "SpeechDataLoader", mesh=None,
+                 data_axis: str = "data"):
         import jax
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.loader = loader
+        self._mesh = mesh
+        self._gather = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
+            data = NamedSharding(mesh, PartitionSpec(data_axis))
+            self._put = lambda a: jax.device_put(a, repl)
+
+            def gather(arrs, pos):
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, pos, axis=0), arrs)
+
+            self._gather = jax.jit(
+                gather, out_shardings=(data, data, data, data))
+        else:
+            self._put = jax.device_put
         self.batch_size = loader.batch_size
         self.pad_to_full_batch = loader.pad_to_full_batch
         self.epoch = 0
@@ -252,10 +273,10 @@ class DeviceCachedLoader:
             items = [ds[int(i)] for i in members]
             host = collate(items, bound, batcher.label_pad)
             self._bucket_arrays[b_idx] = {
-                "feats": jax.device_put(host.feats),
-                "labels": jax.device_put(host.labels),
-                "in_len": jax.device_put(host.input_lengths),
-                "lab_len": jax.device_put(host.label_lengths),
+                "feats": self._put(host.feats),
+                "labels": self._put(host.labels),
+                "in_len": self._put(host.input_lengths),
+                "lab_len": self._put(host.label_lengths),
                 "t_pad": bound,
             }
 
@@ -286,10 +307,15 @@ class DeviceCachedLoader:
             b_idx = int(self._bucket_of[idx[0]])
             arrs = self._bucket_arrays[b_idx]
             pos = jnp.asarray(self._pos_in_bucket[idx], jnp.int32)
-            feats = jnp.take(arrs["feats"], pos, axis=0)
-            labels = jnp.take(arrs["labels"], pos, axis=0)
-            in_len = jnp.take(arrs["in_len"], pos, axis=0)
-            lab_len = jnp.take(arrs["lab_len"], pos, axis=0)
+            if self._gather is not None:
+                feats, labels, in_len, lab_len = self._gather(
+                    (arrs["feats"], arrs["labels"], arrs["in_len"],
+                     arrs["lab_len"]), pos)
+            else:
+                feats = jnp.take(arrs["feats"], pos, axis=0)
+                labels = jnp.take(arrs["labels"], pos, axis=0)
+                in_len = jnp.take(arrs["in_len"], pos, axis=0)
+                lab_len = jnp.take(arrs["lab_len"], pos, axis=0)
             mask = np.ones((len(idx),), np.float32)
             if n_real < len(idx):
                 mask[n_real:] = 0.0

@@ -48,3 +48,45 @@ def test_device_cache_equals_host_loader(tmp_path):
             np.testing.assert_array_equal(h.label_lengths,
                                           np.asarray(d.label_lengths))
             assert h.utts == d.utts
+
+
+def test_device_cache_under_mesh():
+    """Mesh mode: replicated buckets, batch gathers sharded over 'data'."""
+    import jax
+
+    from ctc_pytorch_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    rng = np.random.RandomState(3)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        ark, scp = os.path.join(td, "f.ark"), os.path.join(td, "f.scp")
+        with ArkWriter(ark, scp) as w:
+            for i in range(19):
+                w.write(f"u{i:02d}",
+                        rng.randn(16 + rng.randint(30), 5).astype(np.float32))
+        open(os.path.join(td, "units"), "w").write("a\nb\n")
+        with open(os.path.join(td, "lab"), "w") as f:
+            for i in range(19):
+                f.write(f"u{i:02d} a b a\n")
+        cfg = Config()
+        cfg.left_ctx = cfg.right_ctx = 0
+        cfg.n_skip_frame = cfg.n_downsample = 1
+        vocab = Vocab(os.path.join(td, "units"))
+        ds = SpeechDataset(vocab, scp, os.path.join(td, "lab"), cfg)
+        mesh = make_mesh()
+        host = SpeechDataLoader(ds, 8, shuffle=True, num_buckets=2, seed=5)
+        dev = DeviceCachedLoader(
+            SpeechDataLoader(ds, 8, shuffle=True, num_buckets=2, seed=5),
+            mesh=mesh,
+        )
+        for h, d in zip(host, dev):
+            np.testing.assert_array_equal(h.feats, np.asarray(d.feats))
+            np.testing.assert_array_equal(h.labels, np.asarray(d.labels))
+            # the gathered batch is sharded over the data axis
+            shard_devs = {s.device for s in d.feats.addressable_shards}
+            assert len(shard_devs) == 8
