@@ -258,9 +258,18 @@ def rnn_layer_apply(
         w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
         if cell == "rnn":
             from ctc_pytorch_tpu.ops.rnn_pallas import rnn_bidir_pallas
+            from ctc_pytorch_tpu.ops.rnn_pallas_v2 import (
+                rnn_bidir_v2,
+                rnn_v2_ok,
+            )
 
-            out = rnn_bidir_pallas(x, w_ih, w_hh, compute_dtype=compute_dtype,
-                                   train=train)
+            if rnn_v2_ok(x.shape[0], x.shape[1], hidden_size, compute_dtype):
+                out = rnn_bidir_v2(x, w_ih, w_hh,
+                                   compute_dtype=compute_dtype, train=train)
+            else:
+                out = rnn_bidir_pallas(x, w_ih, w_hh,
+                                       compute_dtype=compute_dtype,
+                                       train=train)
         elif cell == "gru":
             from ctc_pytorch_tpu.ops.gru_pallas import gru_bidir_pallas
             from ctc_pytorch_tpu.ops.gru_pallas_train import gru_bidir_train
