@@ -30,6 +30,57 @@ BASELINE_FILE = Path(__file__).parent / ".bench_baseline.json"
 TORCH_BATCH = 8  # the reference recipe's batch size (ctc_config.yaml:49)
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # one v5e chip, bf16 MXU peak
+
+
+def model_flops_per_utt(spec, t_in: int) -> float:
+    """Analytic forward matmul/conv FLOPs (2·MACs) for one utterance of
+    ``t_in`` post-skip input frames, from the ModelSpec alone.  Elementwise
+    ops (BN, activations, dropout) are excluded — they are bandwidth, not
+    MXU work.  The train step costs ~3x this (backward re-runs both dot
+    operands: dL/dW and dL/dx each match the forward dot)."""
+    fl = 0.0
+    t = t_in
+    if spec.add_cnn:
+        c = spec.cnn
+        f = spec.rnn_input_size
+        for i in range(c.layers):
+            kt, kf = c.kernel_size[i]
+            st, sf = c.stride[i]
+            pt, pf = c.padding[i]
+            t = (t + 2 * pt - kt) // st + 1
+            f = (f + 2 * pf - kf) // sf + 1
+            cin, cout = c.channel[i]
+            fl += 2.0 * t * f * cout * cin * kt * kf
+            if c.pooling:
+                t = (t - c.pooling[i][0]) // c.pooling[i][0] + 1
+                f = (f - c.pooling[i][1]) // c.pooling[i][1] + 1
+        feat = f * c.channel[-1][1]
+    else:
+        feat = spec.rnn_input_size
+    gates = {"lstm": 4, "gru": 3, "rnn": 1}[spec.rnn_cell]
+    h = spec.rnn_hidden_size
+    d = spec.dirs
+    for i in range(spec.rnn_layers):
+        in_dim = feat if i == 0 else d * h
+        fl += 2.0 * t * in_dim * gates * h * d  # hoisted input projection
+        fl += 2.0 * t * h * gates * h * d  # serial recurrence
+    fl += 2.0 * t * d * h * spec.num_class  # classifier
+    return fl
+
+
+def mfu_fields(spec, t_in: int, utts_per_sec: float, prefix: str = "") -> dict:
+    """TFLOP/s + model FLOPs utilisation vs the v5e bf16 peak, so perf
+    regressions are visible in the bench artifact itself (not just docs)."""
+    train_flops = 3.0 * model_flops_per_utt(spec, t_in)
+    tflops = utts_per_sec * train_flops / 1e12
+    return {
+        prefix + "gflops_per_utt_train": round(train_flops / 1e9, 3),
+        prefix + "tflops": round(tflops, 2),
+        prefix + "mfu_vs_v5e_bf16": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+    }
+
+
 def bench_ours(steps: int = 30, warmup: int = 5) -> float:
     import jax
     import jax.numpy as jnp
@@ -387,25 +438,57 @@ def bench_863(cell: str = "lstm", steps: int = 20, warmup: int = 4) -> float:
     return steps * b / (time.perf_counter() - t0)
 
 
+def _flagship_mfu(ours: float) -> dict:
+    from __graft_entry__ import _flagship_spec
+
+    _, spec = _flagship_spec()
+    return mfu_fields(spec, T, ours)
+
+
+def _863_spec(cell: str):
+    import dataclasses as _dc
+
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+
+    cfg = Config()
+    cfg.rnn_input_size = 201
+    cfg.rnn_hidden_size = 256
+    cfg.rnn_layers = 4
+    cfg.rnn_type = cell
+    cfg.cnn = CNNConfig(
+        add_cnn=True, layers=1, channel=[(1, 16)], kernel_size=[(11, 5)],
+        stride=[(2, 2)], padding=[(0, 0)], pooling=None,
+        activation_function="hardtanh",
+    )
+    return _dc.replace(ModelSpec.from_config(cfg, num_class=67),
+                       use_pallas_rnn=True)
+
+
 def main(extra: bool = False) -> None:
     ours = bench_ours()
     baseline = get_baseline()
     if extra:
         extras = bench_decode_rtf()
         extras.update(bench_epoch())
-        extras["train_863_cnn_lstm_utts_per_sec"] = bench_863("lstm")
-        extras["train_863_cnn_gru_utts_per_sec"] = bench_863("gru")
+        for cell in ("lstm", "gru"):
+            rate = bench_863(cell)
+            extras[f"train_863_cnn_{cell}_utts_per_sec"] = rate
+            extras.update(mfu_fields(_863_spec(cell), 200, rate,
+                                     prefix=f"863_{cell}_"))
         extras["train_utts_per_sec"] = ours
         extras["torch_cpu_utts_per_sec"] = baseline
         Path(__file__).parent.joinpath("BENCH_EXTRA.json").write_text(
             json.dumps(extras, indent=1)
         )
-    print(json.dumps({
+    out = {
         "metric": "timit_cnn_bilstm_ctc_train_throughput",
         "value": round(ours, 2),
         "unit": "utts/sec",
         "vs_baseline": round(ours / baseline, 2),
-    }))
+    }
+    out.update(_flagship_mfu(ours))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -122,17 +122,23 @@ class StreamingRecognizer:
         self.hop = int(hop_seconds * sample_rate)
         self.lookahead = lookahead_seconds
         self._buf = np.zeros(0, np.float32)
+        self._buf_start = 0  # absolute sample index of _buf[0]
         self._since_decode = 0
         self._committed: List[str] = []
+        # absolute sample position of the last committed token's frame
+        # centre; every window's tokens are mapped to absolute positions so
+        # commits stay correct after audio slides out of the window
+        self._committed_pos = -1.0
         self._provisional: List[str] = []
-        self._consumed = 0  # samples dropped off the front of the buffer
 
     def _decode_window(self, final: bool) -> None:
         import jax.numpy as jnp
 
-        wav = self._buf[-self.window:] if len(self._buf) > self.window else self._buf
+        wav = (self._buf[-self.window:] if len(self._buf) > self.window
+               else self._buf)
         if len(wav) < self.sr // 50:  # <20 ms: nothing decodable yet
             return
+        abs0 = self._buf_start + (len(self._buf) - len(wav))
         n = 1 << max(int(np.ceil(np.log2(len(wav)))), 12)
         batch = np.zeros((1, n), np.float32)
         batch[0, : len(wav)] = wav
@@ -143,25 +149,46 @@ class StreamingRecognizer:
         )
         lp = np.asarray(log_probs)
         t_valid = int(np.asarray(sizes)[0])
-        # frames-per-output ~= total samples / valid frames; commit tokens
-        # emitted before (t_valid - margin_frames)
         hyp_tokens, frame_idx = self._greedy_with_frames(lp[:, 0, :], t_valid)
-        if final:
-            if len(self._buf) <= self.window:
-                # nothing ever slid out of the window: the fresh hypothesis
-                # covers the whole stream and supersedes the running state
-                self._committed = hyp_tokens
-            else:
-                self._committed += hyp_tokens[len(self._committed):]
+        spf = len(wav) / max(t_valid, 1)  # samples per output frame
+        pos = [abs0 + (fi + 0.5) * spf for fi in frame_idx]
+        if final and self._buf_start == 0 and len(self._buf) <= self.window:
+            # nothing ever slid out of the window: the fresh hypothesis
+            # covers the whole stream and supersedes the running state
+            self._committed = hyp_tokens
+            self._committed_pos = pos[-1] if pos else -1.0
             self._provisional = []
             return
-        secs_per_frame = (len(wav) / self.sr) / max(t_valid, 1)
-        margin = max(int(self.lookahead / max(secs_per_frame, 1e-6)), 1)
-        cut = t_valid - margin
-        stable = [t for t, fi in zip(hyp_tokens, frame_idx) if fi < cut]
-        if len(stable) > len(self._committed):
-            self._committed = stable
-        self._provisional = hyp_tokens[len(self._committed):]
+        # tokens strictly after the committed span; a same-label token
+        # within ~1.5 frames of the last commit is a re-detection (frame
+        # positions jitter by a frame or so between overlapping decodes)
+        fresh = []
+        for tok, p in zip(hyp_tokens, pos):
+            if p <= self._committed_pos:
+                continue
+            if (not fresh and self._committed
+                    and tok == self._committed[-1]
+                    and p - self._committed_pos < 1.5 * spf):
+                continue
+            fresh.append((tok, p))
+        if final:
+            self._committed += [t for t, _ in fresh]
+            if fresh:
+                self._committed_pos = fresh[-1][1]
+            self._provisional = []
+            return
+        # commit tokens older than the lookahead margin (absolute horizon)
+        horizon = abs0 + len(wav) - self.lookahead * self.sr
+        stable = [(t, p) for t, p in fresh if p < horizon]
+        self._committed += [t for t, _ in stable]
+        if stable:
+            self._committed_pos = stable[-1][1]
+        self._provisional = [t for t, _ in fresh[len(stable):]]
+        # bound host memory: only the last window is ever decoded again
+        if len(self._buf) > self.window:
+            cut = len(self._buf) - self.window
+            self._buf = self._buf[cut:]
+            self._buf_start += cut
 
     def _greedy_with_frames(self, lp_tc: np.ndarray, t_valid: int):
         """Greedy collapse keeping each emitted token's frame index."""
@@ -190,6 +217,8 @@ class StreamingRecognizer:
         self._decode_window(final=True)
         out = " ".join(self._committed).strip()
         self._buf = np.zeros(0, np.float32)
+        self._buf_start = 0
         self._committed, self._provisional = [], []
+        self._committed_pos = -1.0
         self._since_decode = 0
         return out

@@ -63,15 +63,29 @@ def main(argv=None):
         if len(jax.devices()) > 1:
             mesh = make_mesh()
     if cfg.device_cache:
-        from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+        from ctc_pytorch_tpu.data.batching import (
+            DeviceCachedLoader,
+            PrefetchLoader,
+        )
 
+        # budget-check from host-side bucket shapes BEFORE uploading —
+        # constructing DeviceCachedLoader device_puts the whole dataset
         budget = cfg.device_cache_max_gb * (1 << 30)
-        cached = [DeviceCachedLoader(train_loader, mesh=mesh),
-                  DeviceCachedLoader(dev_loader, mesh=mesh)]
-        if sum(c.total_bytes() for c in cached) <= budget:
-            train_loader, dev_loader = cached
+        est = (DeviceCachedLoader.estimate_bytes(train_loader)
+               + DeviceCachedLoader.estimate_bytes(dev_loader))
+        if est <= budget:
+            train_loader = DeviceCachedLoader(train_loader, mesh=mesh)
+            dev_loader = DeviceCachedLoader(dev_loader, mesh=mesh)
         else:
-            log("device cache exceeds budget; streaming batches from host")
+            log(
+                f"WARNING: device cache disabled — estimated "
+                f"{est / (1 << 30):.2f} GB exceeds device_cache_max_gb="
+                f"{cfg.device_cache_max_gb}; falling back to async host "
+                f"prefetch (expect lower epoch rate; raise the budget if "
+                f"HBM allows)"
+            )
+            train_loader = PrefetchLoader(train_loader, mesh=mesh)
+            dev_loader = PrefetchLoader(dev_loader, mesh=mesh)
     frontend_fn = None
     if cfg.feature_type == "waveform":
         # waveform-in end-to-end: the frontend runs inside the train step

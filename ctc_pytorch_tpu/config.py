@@ -114,8 +114,10 @@ class Config:
     num_workers: int = 1
     shuffle_train: bool = True
     # upload the (bucket-padded) dataset to HBM once and gather batches
-    # on device — kills per-step host->device transfer; auto-disabled when
-    # the cache would exceed device_cache_max_gb or under a mesh
+    # on device — kills per-step host->device transfer.  Works under a
+    # data mesh too (bucket arrays replicated, gathers batch-sharded);
+    # auto-disabled (loudly) when the estimated cache size would exceed
+    # device_cache_max_gb, falling back to host streaming + prefetch
     device_cache: bool = True
     device_cache_max_gb: float = 6.0
     feature_dim: int = 81

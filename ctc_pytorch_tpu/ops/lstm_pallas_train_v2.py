@@ -25,8 +25,13 @@ of them:
   autodiff as in v1.
 
 Requires T % chunk == 0 (bucket lengths are 8-aligned).  Numerics match
-v1 exactly at fp32 streams; bf16 streams follow the same policy
-(ops/lstm_pallas.stream_dtype_for).
+v1 exactly at fp32 streams.  With bf16 streams, v2 INTENTIONALLY diverges
+from v1's fp32-weights policy: ``W_hh`` is cast to the stream dtype so the
+serial recurrent dot (the latency-critical op of the whole layer) runs as
+a pure-bf16 MXU matmul with fp32 accumulation, rather than paying the
+fp32 matmul rate.  Measured effect on gradients is a cosine of 0.999998
+vs the all-fp32 path (docs/KERNELS.md), and the reduced-parity run passes
+with these numerics.
 """
 
 from __future__ import annotations
@@ -476,7 +481,9 @@ def lstm_bidir_train_v2(
     ``lstm_bidir_train`` when T % chunk == 0."""
     t, b, _ = x.shape
     h = w_hh.shape[1]
-    sd = stream_dtype_for(compute_dtype, 2 * b)
+    # v2 buffers are per-direction: the sublane dim is b (not the v1
+    # stacked 2B), so the bf16 min-tile check must see b itself
+    sd = stream_dtype_for(compute_dtype, b)
     w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
     gx = jax.lax.dot_general(
         x.reshape(t * b, -1).astype(compute_dtype), w_cat,
@@ -493,6 +500,8 @@ def lstm_bidir_train_v2(
 
 
 def train_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
-    sd = stream_dtype_for(compute_dtype, 2 * b)
+    # v2 buffers are per-direction: the sublane dim is b (not the v1
+    # stacked 2B), so the bf16 min-tile check must see b itself
+    sd = stream_dtype_for(compute_dtype, b)
     return (t % 2 == 0 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)

@@ -154,7 +154,9 @@ def lstm_bidir_pallas_v2(
     t, b, _ = x.shape
     h = w_hh.shape[1]
     h4 = 4 * h
-    sd = stream_dtype_for(compute_dtype, 2 * b)
+    # v2 buffers are per-direction: the sublane dim is b (not the v1
+    # stacked 2B), so the bf16 min-tile check must see b itself
+    sd = stream_dtype_for(compute_dtype, b)
     # one dot against lane-concatenated weights: (T*B, in) @ (in, 8H)
     w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
     gx = jax.lax.dot_general(

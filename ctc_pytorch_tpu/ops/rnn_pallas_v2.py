@@ -327,7 +327,9 @@ def rnn_bidir_v2(
 ) -> jnp.ndarray:
     t, b, _ = x.shape
     h = w_hh.shape[1]
-    sd = stream_dtype_for(compute_dtype, 2 * b)
+    # v2 buffers are per-direction: the sublane dim is b (not the v1
+    # stacked 2B), so the bf16 min-tile check must see b itself
+    sd = stream_dtype_for(compute_dtype, b)
     w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
     gx = jax.lax.dot_general(
         x.reshape(t * b, -1).astype(compute_dtype), w_cat,
@@ -348,6 +350,8 @@ def rnn_bidir_v2(
 
 
 def rnn_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
-    sd = stream_dtype_for(compute_dtype, 2 * b)
+    # v2 buffers are per-direction: the sublane dim is b (not the v1
+    # stacked 2B), so the bf16 min-tile check must see b itself
+    sd = stream_dtype_for(compute_dtype, b)
     return (t % 2 == 0 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)

@@ -93,8 +93,8 @@ def test_streaming_recognizer_matches_batch(tmp_path):
 
 
 def test_streaming_recognizer_long_stream(tmp_path):
-    """Stream longer than the window: finish() returns without error and
-    keeps the committed prefix."""
+    """Stream longer than the window: finish() returns without error,
+    keeps the committed prefix, and the host buffer stays bounded."""
     from ctc_pytorch_tpu.api import StreamingRecognizer
 
     fe = WaveFrontendSpec(
@@ -109,7 +109,55 @@ def test_streaming_recognizer_long_stream(tmp_path):
                              lookahead_seconds=0.1)
     for _ in range(10):
         sr.feed((rng.randn(4000) * 500).astype(np.float32))
+    # the ring buffer is trimmed to the window; _buf_start tracks the cut
+    assert len(sr._buf) <= sr.window
+    assert sr._buf_start + len(sr._buf) == 40000
     committed_before = list(sr._committed)
     out = sr.finish()
     assert isinstance(out, str)
     assert out.split()[: len(committed_before)] == committed_before
+
+
+def test_streaming_commit_no_drop_no_dup(tmp_path):
+    """Long-stream commit correctness, exact: a fake forward emits one
+    token per 10 ms frame whose label depends only on the token's ABSOLUTE
+    stream position (encoded in a sample ramp), so any windowed-commit
+    drop or duplication changes the output string.  Guards the regression
+    where tokens sliding out of the window were sliced against a
+    whole-stream committed list (api.py commit logic)."""
+    from ctc_pytorch_tpu.api import StreamingRecognizer
+
+    fe = WaveFrontendSpec(
+        frontend=FrontendConfig(num_mel_bins=12), left_ctx=0, right_ctx=0,
+        n_skip_frame=1,
+    )
+    pkg = _mini_package(tmp_path, fe)
+    vocab = Vocab.from_units(["aa", "bb"])
+    rec = Recognizer(pkg, vocab, frontend=fe)
+
+    hop_samples = 160  # one output frame per 10 ms
+
+    def fake_forward(params, mstate, wavs, lengths):
+        wav = np.asarray(wavs)[0]
+        n_valid = int(np.asarray(lengths)[0])
+        abs0 = int(round(float(wav[0])))  # ramp encodes absolute position
+        t_out = max(n_valid // hop_samples, 1)
+        lp = np.full((t_out, 1, 4), -10.0, np.float32)
+        for i in range(t_out):
+            abs_frame = abs0 // hop_samples + i
+            lp[i, 0, 2 + (abs_frame % 2)] = 0.0  # alternate aa/bb
+        import jax.numpy as jnp
+
+        return jnp.asarray(lp), jnp.asarray([t_out], np.int32)
+
+    rec._forward = fake_forward
+    sr = StreamingRecognizer(rec, window_seconds=1.0, hop_seconds=0.25,
+                             lookahead_seconds=0.05)
+    total = 64000  # 4 s: 4x the window
+    ramp = np.arange(total, dtype=np.float32)
+    for start in range(0, total, 2000):
+        sr.feed(ramp[start:start + 2000])
+    out = sr.finish().split()
+    n_frames = total // hop_samples
+    expected = [("aa", "bb")[i % 2] for i in range(n_frames)]
+    assert out == expected

@@ -50,6 +50,67 @@ def test_device_cache_equals_host_loader(tmp_path):
             assert h.utts == d.utts
 
 
+def test_estimate_bytes_matches_upload(tmp_path):
+    """The pre-upload budget estimate equals the real uploaded footprint
+    (cli/train.py budget-checks with estimate_bytes BEFORE device_put)."""
+    rng = np.random.RandomState(1)
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with ArkWriter(ark, scp) as w:
+        for i in range(17):
+            w.write(f"u{i:02d}",
+                    rng.randn(12 + rng.randint(40), 6).astype(np.float32))
+    (tmp_path / "units").write_text("a\nb\n")
+    with open(tmp_path / "lab", "w") as f:
+        for i in range(17):
+            f.write(f"u{i:02d} a b\n")
+    cfg = Config()
+    cfg.left_ctx = cfg.right_ctx = 0
+    cfg.n_skip_frame = cfg.n_downsample = 1
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, scp, str(tmp_path / "lab"), cfg)
+    loader = SpeechDataLoader(ds, 4, shuffle=False, num_buckets=3)
+    est = DeviceCachedLoader.estimate_bytes(loader)
+    real = DeviceCachedLoader(loader).total_bytes()
+    assert est == real
+
+
+def test_prefetch_loader_equals_host_loader(tmp_path):
+    """PrefetchLoader (async device_put overlap) is batch-identical to the
+    host loader it wraps."""
+    from ctc_pytorch_tpu.data.batching import PrefetchLoader
+
+    rng = np.random.RandomState(2)
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with ArkWriter(ark, scp) as w:
+        for i in range(15):
+            w.write(f"u{i:02d}",
+                    rng.randn(10 + rng.randint(30), 5).astype(np.float32))
+    (tmp_path / "units").write_text("a\nb\n")
+    with open(tmp_path / "lab", "w") as f:
+        for i in range(15):
+            f.write(f"u{i:02d} a b a\n")
+    cfg = Config()
+    cfg.left_ctx = cfg.right_ctx = 0
+    cfg.n_skip_frame = cfg.n_downsample = 1
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, scp, str(tmp_path / "lab"), cfg)
+    host = SpeechDataLoader(ds, 4, shuffle=True, num_buckets=2, seed=9)
+    pre = PrefetchLoader(
+        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=2, seed=9)
+    )
+    for epoch in (0, 1):
+        host.set_epoch(epoch)
+        pre.set_epoch(epoch)
+        hb, pb = list(host), list(pre)
+        assert len(hb) == len(pb)
+        for h, p in zip(hb, pb):
+            np.testing.assert_array_equal(h.feats, np.asarray(p.feats))
+            np.testing.assert_array_equal(h.labels, np.asarray(p.labels))
+            np.testing.assert_array_equal(h.input_lengths,
+                                          np.asarray(p.input_lengths))
+            assert h.utts == p.utts
+
+
 def test_device_cache_under_mesh():
     """Mesh mode: replicated buckets, batch gathers sharded over 'data'."""
     import jax
