@@ -73,7 +73,11 @@ def evaluate(
                 log_probs, input_sizes, max_len=cfg.beam_max_len
             )
         else:
-            decoded = decoder.decode(np.asarray(log_probs), input_sizes)
+            decoded = decoder.decode(
+                np.asarray(log_probs), input_sizes,
+                **({} if cfg.decode_type == "Greedy"
+                   else {"use_native": cfg.beam_use_native}),
+            )
         targets = [
             decoder.scorer.to_string(
                 batch.labels[i], int(batch.label_lengths[i])

@@ -168,6 +168,10 @@ class Config:
     decode_type: str = "Greedy"
     beam_width: int = 10
     beam_max_len: int = 96  # BeamDevice hypothesis capacity (tokens)
+    # host Beam decode: use the C++ search (native/ctc_native.cpp) when the
+    # shared library built; False forces the pure-python reference search —
+    # the parity harness compares both against the torch reference
+    beam_use_native: bool = True
     lm_alpha: float = 0.1
     lm_path: str = "data/lm_phone_bg.arpa"
 

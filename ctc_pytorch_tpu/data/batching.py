@@ -93,6 +93,16 @@ class BucketBatcher:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        if num_buckets == 0:
+            # reference-exact mode: batches form in (shuffled) dataset order
+            # and pad to their own max T/L, byte-identical to the torch
+            # collate (``create_input``, data_loader.py:119-140).  Dynamic
+            # shapes recompile per batch — a parity/debug tool, not the
+            # production path.
+            self.boundaries = []
+            self.label_pad = max(1, int(np.max(label_lengths)))
+            self._assignment = None
+            return
         # bucket boundaries at length quantiles, aligned up
         qs = np.quantile(self.lengths, np.linspace(0, 1, num_buckets + 1)[1:])
         self.boundaries = sorted({_round_up(int(np.ceil(q)), align) for q in qs})
@@ -108,6 +118,16 @@ class BucketBatcher:
     def epoch_batches(self, epoch: int) -> Iterator[tuple]:
         """Yield (indices, t_pad, l_pad) with deterministic per-epoch shuffle."""
         rng = np.random.RandomState(self.seed + epoch)
+        if self._assignment is None:  # reference-exact (num_buckets=0)
+            order = np.arange(len(self.lengths))
+            if self.shuffle:
+                rng.shuffle(order)
+            for i in range(0, len(order), self.batch_size):
+                chunk = order[i : i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                yield chunk, None, None
+            return
         for b_idx, bound in enumerate(self.boundaries):
             members = np.nonzero(self._assignment == b_idx)[0]
             if len(members) == 0:
@@ -124,6 +144,11 @@ class BucketBatcher:
                 yield chunk, bound, self.label_pad
 
     def num_batches(self) -> int:
+        if self._assignment is None:
+            n_items = len(self.lengths)
+            if self.drop_last:
+                return n_items // self.batch_size
+            return -(-n_items // self.batch_size)
         n = 0
         for b_idx in range(len(self.boundaries)):
             members = int(np.sum(self._assignment == b_idx))
@@ -295,6 +320,11 @@ class DeviceCachedLoader:
 
         self._jnp = jnp
         self.loader = loader
+        if loader.batcher._assignment is None:
+            raise ValueError(
+                "DeviceCachedLoader needs bucketed (static-shape) batches; "
+                "num_buckets=0 (reference-exact padding) is host-only"
+            )
         self._mesh = mesh
         self._gather = None
         if mesh is not None:
@@ -344,6 +374,8 @@ class DeviceCachedLoader:
         uploading anything — callers must budget-check with this before
         constructing (construction itself device_puts the whole dataset)."""
         batcher = loader.batcher
+        if batcher._assignment is None:  # num_buckets=0: not cacheable
+            return 1 << 62
         dim = loader.dataset[0][0].shape[1]
         tot = 0
         for b_idx, bound in enumerate(batcher.boundaries):

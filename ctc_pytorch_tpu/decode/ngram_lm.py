@@ -144,6 +144,11 @@ def train_bigram_lm(
             bi[(a, b)] += 1
             followers[a].add(b)
 
+    # IRSTLM's build-lm.sh always emits an <unk> unigram (open vocabulary);
+    # the reference's ARPA reader requires it (NgramLM.py:58 aliases
+    # unigram['UNK'] to unigram['<unk>'] unconditionally)
+    if "<unk>" not in uni:
+        uni["<unk>"] = 0
     vocab = sorted(uni)
     total_tokens = sum(uni[w] for w in vocab if w != start)
 

@@ -42,18 +42,27 @@ def conv_layer_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int],
     return params, state
 
 
-def _bn2d(params, state, x, train: bool, momentum=0.1, eps=1e-5):
+def _bn2d(params, state, x, train: bool, momentum=0.1, eps=1e-5,
+          axis_name=None):
     """BatchNorm2d over the channel axis of NHWC ``(B, T, F, C)``.
 
     Stats accumulate in fp32 regardless of the plane dtype; the normalized
     output stays in the input dtype (bf16 planes at flagship shapes halve
-    the HBM traffic of these full-plane passes).
+    the HBM traffic of these full-plane passes).  ``axis_name`` psum-reduces
+    the moments over a shard_map data axis (sync-BN; see layers.py).
     """
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
+        if axis_name is not None:
+            n = n * jax.lax.psum(1, axis_name)
+            mean = jax.lax.psum(jnp.sum(xf, axis=(0, 1, 2)), axis_name) / n
+            sq = jax.lax.psum(
+                jnp.sum(xf * xf, axis=(0, 1, 2)), axis_name) / n
+            var = sq - mean * mean
+        else:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
@@ -90,6 +99,7 @@ def cnn_stack_apply(
     drop_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, List[Dict]]:
     """(B, 1, T, F) -> NHWC ``(B, T', F', C_out)``, plus new BN states.
 
@@ -124,7 +134,8 @@ def cnn_stack_apply(
         out = out + p["b"].astype(compute_dtype)
         ns = dict(s)
         if "bn" in p:
-            out, ns["bn"] = _bn2d(p["bn"], s["bn"], out, train)
+            out, ns["bn"] = _bn2d(p["bn"], s["bn"], out, train,
+                                  axis_name=axis_name)
         out = act(out)
         if cnn.pooling:
             pk = cnn.pooling[i]

@@ -139,8 +139,13 @@ class CTCModel:
         rng: Optional[jax.Array] = None,
         lengths: Optional[jnp.ndarray] = None,
         visualize: bool = False,
+        axis_name: Optional[str] = None,
     ):
-        """(B, T, F) -> log_probs (T', B, num_class), new_state[, visual]."""
+        """(B, T, F) -> log_probs (T', B, num_class), new_state[, visual].
+
+        ``axis_name``: when the step runs per-shard inside ``shard_map``
+        over a data mesh, BN batch statistics psum over this axis so the
+        math stays identical to the single-device global batch."""
         compute_dtype = jnp.dtype(spec.compute_dtype)
         new_state: Dict[str, Any] = {}
         visual = [x] if visualize else None
@@ -152,7 +157,7 @@ class CTCModel:
             out, new_state["cnn"] = cnn_stack_apply(
                 params["cnn"], state["cnn"], x[:, None, :, :], spec.cnn,
                 train=train, drop_rate=spec.drop_out, rng=r_cnn,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, axis_name=axis_name,
             )
             if visualize:
                 # visual contract stays (B, C, T', F') — the stack itself
@@ -175,13 +180,15 @@ class CTCModel:
             compute_dtype=compute_dtype,
             pallas=spec.use_pallas_rnn,
             remat=spec.remat,
+            axis_name=axis_name,
         )
 
         t, b, h = out.shape
         flat = out.reshape(t * b, h)
         if spec.batch_norm:
             flat, new_state["fc_bn"] = batchnorm_apply(
-                params["fc_bn"], state["fc_bn"], flat, train
+                params["fc_bn"], state["fc_bn"], flat, train,
+                axis_name=axis_name,
             )
         logits = linear_apply(params["fc"], flat, compute_dtype)
         logits = logits.reshape(t, b, -1).astype(jnp.float32)

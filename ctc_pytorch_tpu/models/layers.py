@@ -48,14 +48,27 @@ def batchnorm_apply(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """Normalise the last axis of ``x`` (any leading shape)."""
+    """Normalise the last axis of ``x`` (any leading shape).
+
+    ``axis_name``: inside ``shard_map`` over a data mesh, batch statistics
+    are psum-reduced over the named axis so training numerics match the
+    single-device global-batch computation (the TPU-native equivalent of
+    SyncBatchNorm — the reference's BN sees the whole batch on one GPU).
+    """
     feat = x.shape[-1]
     flat = x.reshape(-1, feat)
     if train:
-        mean = jnp.mean(flat, axis=0)
-        var = jnp.var(flat, axis=0)
-        n = flat.shape[0]
+        if axis_name is not None:
+            n = flat.shape[0] * jax.lax.psum(1, axis_name)
+            mean = jax.lax.psum(jnp.sum(flat, axis=0), axis_name) / n
+            sq = jax.lax.psum(jnp.sum(flat * flat, axis=0), axis_name) / n
+            var = sq - mean * mean
+        else:
+            mean = jnp.mean(flat, axis=0)
+            var = jnp.var(flat, axis=0)
+            n = flat.shape[0]
         # torch running_var uses the unbiased estimator
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

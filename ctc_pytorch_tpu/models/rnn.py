@@ -39,6 +39,12 @@ from ctc_pytorch_tpu.models.layers import (
 
 GATES = {"lstm": 4, "gru": 3, "rnn": 1}
 
+# Test/dryrun hook: run the Pallas kernels off-TPU (the ops' _auto_interpret
+# then selects interpreter mode) so SPMD/dryrun coverage includes the
+# production kernel dispatch without hardware.  Never set in production —
+# off-TPU the interpreter is orders of magnitude slower than the scan path.
+FORCE_PALLAS_OFF_TPU = False
+
 
 def cell_init(key, cell: str, input_size: int, hidden_size: int) -> Dict:
     """One direction of one layer. Bias-free per ``model_ctc.py:24-25``."""
@@ -230,11 +236,14 @@ def rnn_layer_apply(
     lengths: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
     pallas: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """(T, B, F) -> (T, B, H * num_directions), plus new BN state."""
     new_state = dict(state)
     if "bn" in params:
-        x, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], x, train)
+        x, new_state["bn"] = batchnorm_apply(
+            params["bn"], state["bn"], x, train, axis_name=axis_name
+        )
     use_pallas_here = (
         "bwd" in params and pallas and cell in ("lstm", "gru", "rnn")
         and lengths is None
@@ -248,7 +257,8 @@ def rnn_layer_apply(
         # stays a unit-test tool, not a production fallback.
         import jax as _jax
 
-        on_tpu = _jax.default_backend() in ("tpu", "axon")
+        on_tpu = (_jax.default_backend() in ("tpu", "axon")
+                  or FORCE_PALLAS_OFF_TPU)
         if not on_tpu or hidden_size % 128 != 0 or (2 * x.shape[1]) % 8 != 0:
             use_pallas_here = False
     if use_pallas_here:
@@ -373,6 +383,7 @@ def rnn_stack_apply(
     compute_dtype=jnp.bfloat16,
     pallas: bool = False,
     remat: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, list]:
     new_states = []
     rngs = (
@@ -383,7 +394,7 @@ def rnn_stack_apply(
         rnn_layer_apply,
         cell=cell, hidden_size=hidden_size, drop_rate=drop_rate,
         train=train, lengths=lengths, compute_dtype=compute_dtype,
-        pallas=pallas,
+        pallas=pallas, axis_name=axis_name,
     )
     if remat:
         # trade FLOPs for HBM: recompute each layer's activations in the

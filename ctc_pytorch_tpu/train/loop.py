@@ -62,12 +62,15 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
     else:
         _ctc = ctc_loss
 
+    axis = data_axis if mesh is not None else None
+
     def _forward(params, model_state, feats, frac, labels, label_lens, mask,
                  rng, train: bool):
         if frontend_fn is not None:
             feats, frac, _ = frontend_fn(feats, frac)
         out = CTCModel.apply(
-            spec, params, model_state, feats, train=train, rng=rng
+            spec, params, model_state, feats, train=train, rng=rng,
+            axis_name=axis,
         )
         log_probs, new_mstate = out[0], out[1]
         t_out = log_probs.shape[0]
@@ -76,8 +79,14 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
             log_probs, labels, input_sizes, label_lens, reduction="none"
         )
         # reference: sum over batch / batch_size (train_ctc.py:47-48);
-        # masked mean excludes repeat-padded rows of ragged final batches
-        loss = jnp.sum(neg_ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        # masked mean excludes repeat-padded rows of ragged final batches.
+        # Per-shard the denominator is the GLOBAL mask count, so the local
+        # value is this shard's contribution to the global mean — its grads
+        # psum to exactly the single-device gradient.
+        denom = jnp.sum(mask)
+        if axis is not None:
+            denom = jax.lax.psum(denom, axis)
+        loss = jnp.sum(neg_ll * mask) / jnp.maximum(denom, 1.0)
         return loss, (new_mstate, log_probs, input_sizes)
 
     def train_step(state: TrainState, feats, frac, labels, label_lens, mask,
@@ -89,6 +98,11 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
                 label_lens, mask, rng, True,
             )
         )
+        if axis is not None:
+            # explicit DP collective: per-shard grad contributions + loss
+            # terms sum over ICI (the psum GSPMD used to insert for us)
+            grads = jax.lax.psum(grads, axis)
+            loss = jax.lax.psum(loss, axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         import optax
 
@@ -102,23 +116,41 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
             state.params, state.model_state, feats, frac, labels, label_lens,
             mask, None, False,
         )
+        if axis is not None:
+            loss = jax.lax.psum(loss, axis)
         greedy_idx = jnp.argmax(log_probs, axis=-1).T
         return loss, greedy_idx, input_sizes, log_probs
 
     donate = {"donate_argnums": (0,)}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Explicit SPMD via shard_map (scaling-book recipe): each device
+        # runs the full step on its batch shard — including the Pallas
+        # RNN/CTC kernels, which GSPMD cannot partition through a jit
+        # boundary (an unpartitioned custom call would be all-gathered and
+        # replicated, silently serialising the hot path).  Collectives are
+        # the explicit psums above plus the sync-BN psums inside the model.
+        from jax.sharding import PartitionSpec as P
 
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(data_axis))
-        train_jit = jax.jit(
-            train_step,
-            in_shardings=(repl, data, data, data, data, data, repl),
-            **donate,
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        repl, data = P(), P(data_axis)
+        train_sm = shard_map(
+            train_step, mesh=mesh,
+            in_specs=(repl, data, data, data, data, data, repl),
+            out_specs=(repl, repl, data, data),
+            check_vma=False,
         )
-        eval_jit = jax.jit(
-            eval_step, in_shardings=(repl, data, data, data, data, data)
+        eval_sm = shard_map(
+            eval_step, mesh=mesh,
+            in_specs=(repl, data, data, data, data, data),
+            out_specs=(repl, data, data, data),
+            check_vma=False,
         )
+        train_jit = jax.jit(train_sm, **donate)
+        eval_jit = jax.jit(eval_sm)
     else:
         train_jit = jax.jit(train_step, **donate)
         eval_jit = jax.jit(eval_step)

@@ -47,3 +47,30 @@ def test_parity_reduced(tmp_path):
     # differ (init/batching RNG), so allow a loose band — ours must not be
     # materially worse
     assert results["ours_per_dev"] <= results["ref_per_dev"] + 5.0, results
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference checkout not present")
+def test_parity_reduced_cnn_beam(tmp_path):
+    """Flagship-chain parity (VERDICT r2 items 1+2): add_cnn=True conv stack
+    + n_skip_frame=2 through conv->reshape->rnn->frac-rescale->decode, plus
+    LM-fused beam decode (beam=20) vs the reference's own BeamSearch, on the
+    hard (confusable) corpus so the regime is non-trivial."""
+    from tools.parity.run_parity import main
+
+    results = main([str(tmp_path / "wd"), "--small", "--cpu",
+                    "--cnn", "--hard", "--beam"])
+    (tmp_path / "results.json").write_text(json.dumps(results))
+
+    for split in ("dev", "test"):
+        n_eq, n_tot = map(int, results[f"greedy_eq_{split}"].split("/"))
+        assert n_eq == n_tot, f"CNN greedy diverged on {split}: {results}"
+        assert abs(results[f"imported_per_{split}"]
+                   - results[f"ref_per_{split}"]) < 1e-6, results
+        for impl in ("python", "native", "device"):
+            n_eq, n_tot = map(
+                int, results[f"beam_eq_{impl}_{split}"].split("/"))
+            assert n_eq == n_tot, (
+                f"beam ({impl}) diverged from the reference BeamSearch on "
+                f"{split}: {results}"
+            )
+    assert results["ours_per_dev"] <= results["ref_per_dev"] + 5.0, results

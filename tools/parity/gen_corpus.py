@@ -42,6 +42,7 @@ def generate(
     min_dur: int = 3,
     max_dur: int = 9,
     noise: float = 0.35,
+    confusable: float = 0.0,
     seed: int = 0,
     unit_names: list | None = None,
     feat_name: str = "fbank",
@@ -57,6 +58,17 @@ def generate(
     # per-phone prototype trajectory: start + drift, unit-scale features
     proto_a = rng.randn(n_phones, dim).astype(np.float32)
     proto_b = rng.randn(n_phones, dim).astype(np.float32) * 0.5
+    if confusable > 0.0:
+        # "hard" regime (VERDICT r2 item 3): phones come in near-identical
+        # pairs — odd prototypes are a small perturbation of the preceding
+        # even one, so the task stops being linearly separable and both
+        # frameworks land at a realistic (15-30%) PER where the plateau
+        # scheduler's band/decay/rollback logic actually trips
+        for i in range(1, n_phones, 2):
+            proto_a[i] = proto_a[i - 1] + confusable * rng.randn(
+                dim).astype(np.float32)
+            proto_b[i] = proto_b[i - 1] + confusable * 0.5 * rng.randn(
+                dim).astype(np.float32)
 
     # simple bigram structure so the LM has something to learn
     trans = rng.dirichlet(np.full(n_phones, 0.5), size=n_phones)
@@ -103,7 +115,10 @@ if __name__ == "__main__":
     ap.add_argument("--n-dev", type=int, default=100)
     ap.add_argument("--n-test", type=int, default=100)
     ap.add_argument("--n-phones", type=int, default=40)
+    ap.add_argument("--noise", type=float, default=0.35)
+    ap.add_argument("--confusable", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
     print(generate(a.root, n_train=a.n_train, n_dev=a.n_dev,
-                   n_test=a.n_test, n_phones=a.n_phones, seed=a.seed))
+                   n_test=a.n_test, n_phones=a.n_phones, noise=a.noise,
+                   confusable=a.confusable, seed=a.seed))

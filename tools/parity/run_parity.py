@@ -30,8 +30,12 @@ if str(REPO) not in sys.path:
 REF = Path("/root/reference/timit")
 SHIMS = REPO / "tools" / "parity" / "shims"
 
-CNN_KEYS = """\
-add_cnn: False
+def cnn_keys(add_cnn: bool) -> str:
+    """The reference flagship conv stack (``timit/conf/ctc_config.yaml:30-40``):
+    2x Conv(3,3) pad (1,1), freq stride 2 both layers, time stride 2 on the
+    second — time downsample x2 through the conv on top of any frame skip."""
+    return f"""\
+add_cnn: {add_cnn}
 layers: 2
 channel: "[(1, 32), (32, 32)]"
 kernel_size: "[(3, 3), (3, 3)]"
@@ -56,7 +60,7 @@ test_scp_path: '{data}/{test_split}/fbank.scp'
 test_lab_path: '{data}/{test_split}/phn_text'
 left_ctx: 1
 right_ctx: 1
-n_skip_frame: 1
+n_skip_frame: {hp.get('skip', 1)}
 n_downsample: 2
 num_workers: 0
 shuffle_train: True
@@ -71,7 +75,7 @@ rnn_type: "nn.LSTM"
 bidirectional: True
 batch_norm: True
 drop_out: 0.0
-{CNN_KEYS}
+{cnn_keys(hp.get('cnn', False))}
 init_lr: {hp['lr']}
 num_epoches: {hp['epochs']}
 end_adjust_acc: {hp['band']}
@@ -81,7 +85,7 @@ weight_decay: 0.0005
 seed: 1
 verbose_step: 1000
 decode_type: "Greedy"
-beam_width: 10
+beam_width: 20
 lm_alpha: 0.1
 lm_path: '{data}/lm_phone_bg.arpa'
 """
@@ -149,6 +153,16 @@ def main(argv=None):
     ap.add_argument("workdir")
     ap.add_argument("--small", action="store_true",
                     help="reduced pilot corpus/model (CI-sized)")
+    ap.add_argument("--cnn", action="store_true",
+                    help="flagship chain: add_cnn=True conv stack + "
+                         "n_skip_frame=2 (VERDICT r2 item 1)")
+    ap.add_argument("--hard", action="store_true",
+                    help="confusable-prototype corpus so both sides land at "
+                         "a realistic 15-30%% PER and the plateau scheduler "
+                         "trips decays (VERDICT r2 item 3)")
+    ap.add_argument("--beam", action="store_true",
+                    help="also compare LM-fused beam decode (beam=20) vs the "
+                         "reference's own BeamSearch (VERDICT r2 item 2)")
     ap.add_argument("--report", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="run our framework's stages on CPU (hermetic CI)")
@@ -170,6 +184,24 @@ def main(argv=None):
         corpus = dict(n_train=600, n_dev=100, n_test=100, n_phones=40, dim=40)
         hp = dict(dim=40, n_phones=40, hidden=128, layers=2, lr=1e-3,
                   epochs=30, band=2, batch=8)
+    if args.hard:
+        # near-pair prototypes + hotter noise: lands the torch reference at
+        # a realistic PER (~15-30%) where band/decay/rollback dynamics act;
+        # tighter band + enough epochs that decays actually trip.  Model and
+        # corpus sized for a single-core rig (the torch side trains at
+        # minutes/epoch at hidden 128) — the REGIME is the point, not scale.
+        corpus.update(confusable=0.45, noise=0.55)
+        if not args.small:
+            corpus.update(n_train=400, n_dev=80, n_test=80)
+            hp.update(hidden=64, lr=2e-3)
+        hp.update(band=0.1, epochs=30 if not args.small else 12)
+    if args.cnn:
+        hp.update(cnn=True, skip=2)
+        # frame budget: skip x2 then conv time-stride x2 leaves T/4 output
+        # frames; CTC needs T_out >= n_labels (+1 per adjacent repeat), so
+        # phones must last >= ~8 input frames or the torch side hits inf
+        # loss -> nan grads on short utterances
+        corpus.update(min_dur=10, max_dur=20)
 
     # ---- shared corpus ----------------------------------------------------
     if not (data / "units").exists():
@@ -178,16 +210,36 @@ def main(argv=None):
         counts = generate(data, **corpus)
         print("corpus:", counts, flush=True)
 
+    # ---- shared bigram LM (ours trains it; both sides read the ARPA) ------
+    if not (data / "lm_phone_bg.arpa").exists():
+        env_lm = dict(os.environ)
+        env_lm["PYTHONPATH"] = _pythonpath(REPO)
+        env_lm["JAX_PLATFORMS"] = "cpu"
+        run([sys.executable, "-m", "ctc_pytorch_tpu.cli.train_lm", data],
+            cwd=REPO, env=env_lm)
+
     # ---- confs -------------------------------------------------------------
+    # decode confs use batch_size 1 + (ours) reference-exact padding: with a
+    # CNN, int(frac * T_out(T_pad)) depends on the padded batch length, so
+    # per-utterance greedy equality is only well-defined when both sides pad
+    # each utterance identically (batch of 1, padded to % n_downsample)
     confs = {}
     for side in ("ref", "ours"):
         for split in ("dev", "test"):
             text = base_conf(data, ckpt, side, hp, split)
+            text = text.replace(f"batch_size: {hp['batch']}", "batch_size: 1")
             if side == "ours":
-                text += OURS_EXTRA
+                text += OURS_EXTRA.replace("num_buckets: 4", "num_buckets: 0")
             p = wd / f"conf_{side}_{split}.yaml"
             p.write_text(text)
             confs[(side, split)] = p
+    for side in ("ref", "ours"):
+        text = base_conf(data, ckpt, side, hp, "test")
+        if side == "ours":
+            text += OURS_EXTRA
+        p = wd / f"conf_{side}_train.yaml"
+        p.write_text(text)
+        confs[(side, "train")] = p
 
     results = {}
 
@@ -195,7 +247,7 @@ def main(argv=None):
     ref_ckpt = ckpt / "ref" / "ctc_best_model.pkl"
     if not (args.skip_ref_train and ref_ckpt.exists()):
         run([sys.executable, "steps/train_ctc.py", "--conf",
-             confs[("ref", "test")]], cwd=REF, env=ref_env(),
+             confs[("ref", "train")]], cwd=REF, env=ref_env(),
             log_to=wd / "ref_train.log")
     for split in ("dev", "test"):
         out = run([sys.executable, "steps/test_ctc.py", "--conf",
@@ -209,7 +261,7 @@ def main(argv=None):
     if args.cpu:
         env["JAX_PLATFORMS"] = "cpu"
     run([sys.executable, "-m", "ctc_pytorch_tpu.cli.train", "--conf",
-         confs[("ours", "test")]], cwd=REPO, env=env,
+         confs[("ours", "train")]], cwd=REPO, env=env,
         log_to=wd / "ours_train.log")
     for split in ("dev", "test"):
         out = run([sys.executable, "-m", "ctc_pytorch_tpu.cli.test", "--conf",
@@ -250,6 +302,53 @@ def main(argv=None):
         results["ours_per_dev"] - results["ref_per_dev"], 4)
     results["delta_test"] = round(
         results["ours_per_test"] - results["ref_per_test"], 4)
+
+    # ---- LM-fused beam decode (beam=20) vs the reference's own search ------
+    if args.beam:
+        beam_eq = {}
+        for split in ("dev", "test"):
+            conf_b = wd / f"conf_ref_beam_{split}.yaml"
+            conf_b.write_text(
+                confs[("ref", split)].read_text()
+                .replace('decode_type: "Greedy"', 'decode_type: "Beam"'))
+            out = run([sys.executable, "steps/test_ctc.py", "--conf", conf_b],
+                      cwd=REF, env=ref_env(),
+                      log_to=wd / f"ref_beam_{split}.log")
+            ref_dec = parse_decodes(out)
+            results[f"ref_beam_per_{split}"] = parse_wer(out)
+            utts = scp_utts(data / split / "fbank.scp")
+            ref_map = dict(zip(utts, ref_dec))
+
+            for impl, extra in (
+                ("python", 'decode_type: "Beam"\nbeam_use_native: False\n'),
+                ("native", 'decode_type: "Beam"\nbeam_use_native: True\n'),
+                ("device", 'decode_type: "BeamDevice"\n'),
+            ):
+                conf_o = wd / f"conf_ours_beam_{impl}_{split}.yaml"
+                conf_o.write_text(
+                    confs[("ours", split)].read_text()
+                    .replace('decode_type: "Greedy"\n', extra))
+                out = run(
+                    [sys.executable, "-c",
+                     "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
+                     "jax.config.update('jax_default_matmul_precision', 'highest');"
+                     "from ctc_pytorch_tpu.config import load_config;"
+                     "from ctc_pytorch_tpu.cli.test import evaluate;"
+                     f"cfg = load_config(r'{conf_o}');"
+                     f"evaluate(cfg, r'{imported}', verbose=True)"],
+                    cwd=REPO, env=env,
+                    log_to=wd / f"ours_beam_{impl}_{split}.log")
+                our_dec = parse_decodes(out)
+                our_utts = [l.strip() for l in out.splitlines()
+                            if re.fullmatch(r"(train|dev|test)\d+", l.strip())]
+                our_map = dict(zip(our_utts, our_dec))
+                assert set(ref_map) == set(our_map), "utterance sets differ"
+                n_eq = sum(ref_map[u] == our_map[u] for u in ref_map)
+                beam_eq[(impl, split)] = (n_eq, len(ref_map))
+                results[f"beam_eq_{impl}_{split}"] = f"{n_eq}/{len(ref_map)}"
+                results[f"beam_per_{impl}_{split}"] = parse_wer(out)
+        results["beam_eq"] = {f"{i}_{s}": v for (i, s), v in beam_eq.items()}
+
     print(json.dumps(results, indent=2))
     (wd / "results.json").write_text(json.dumps(results, indent=2))
 
