@@ -266,6 +266,17 @@ def bench_decode_rtf() -> dict:
         t0 = time.perf_counter()
         bd.decode_on_device(lp_host, sizes)
         beam_dev_s = time.perf_counter() - t0
+        # beam=20: the north-star decode config (BASELINE #3) — the
+        # reference default is even wider (200, ctcDecoder.py:171)
+        bd20 = BeamDecoder(int2char, beam_width=20, lm_path=f"{td}/lm.arpa",
+                           lm_alpha=0.1)
+        t0 = time.perf_counter()
+        bd20.decode(lp_host, sizes)
+        beam20_s = time.perf_counter() - t0
+        bd20.decode_on_device(lp_host, sizes)  # warm
+        t0 = time.perf_counter()
+        bd20.decode_on_device(lp_host, sizes)
+        beam20_dev_s = time.perf_counter() - t0
 
     from ctc_pytorch_tpu import native
 
@@ -274,8 +285,62 @@ def bench_decode_rtf() -> dict:
         "greedy_decode_rtf": (fwd_s + greedy_s) / audio_seconds,
         "beam10_decode_rtf": (fwd_s + beam_s) / audio_seconds,
         "beam10_device_rtf": (fwd_s + beam_dev_s) / audio_seconds,
+        "beam20_decode_rtf": (fwd_s + beam20_s) / audio_seconds,
+        "beam20_device_rtf": (fwd_s + beam20_dev_s) / audio_seconds,
         "beam_native": native.available(),
         "audio_seconds": audio_seconds,
+    }
+
+
+def bench_863_beam(beam_width: int = 20) -> dict:
+    """863 syllable-level LM-fused beam decode RTF (BASELINE config #4):
+    67-class CNN+GRU model, syllable bigram LM, device + host searches."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.decode import BeamDecoder
+    from ctc_pytorch_tpu.decode.ngram_lm import train_bigram_lm
+    from ctc_pytorch_tpu.models import CTCModel
+
+    spec = _863_spec("gru")
+    params, state = CTCModel.init(jax.random.PRNGKey(0), spec)
+
+    @jax.jit
+    def forward(feats):
+        return CTCModel.apply(spec, params, state, feats)[0]
+
+    rng = np.random.RandomState(0)
+    b, t = 32, 392
+    feats = jnp.asarray(rng.randn(b, t, 201).astype(np.float32))
+    audio_seconds = b * t * 0.010
+    lp_host = np.asarray(forward(feats))  # warm + sync
+    t0 = time.perf_counter()
+    lp_host = np.asarray(forward(feats))
+    fwd_s = time.perf_counter() - t0
+    t_out = lp_host.shape[0]
+    sizes = np.full(b, int(0.95 * t_out), np.int32)
+
+    int2char = {i: f"sy{i}" for i in range(spec.num_class)}
+    int2char[0] = "blank"
+    units = [f"sy{i}" for i in range(1, spec.num_class)]
+    with tempfile.TemporaryDirectory() as td:
+        sents = [" ".join(rng.choice(units, 10)) for _ in range(80)]
+        train_bigram_lm(sents, f"{td}/lm.arpa")
+        bd = BeamDecoder(int2char, beam_width=beam_width,
+                         lm_path=f"{td}/lm.arpa", lm_alpha=0.1)
+        t0 = time.perf_counter()
+        bd.decode(lp_host, sizes)
+        host_s = time.perf_counter() - t0
+        bd.decode_on_device(lp_host, sizes)  # warm
+        t0 = time.perf_counter()
+        bd.decode_on_device(lp_host, sizes)
+        dev_s = time.perf_counter() - t0
+    return {
+        f"863_beam{beam_width}_decode_rtf": (fwd_s + host_s) / audio_seconds,
+        f"863_beam{beam_width}_device_rtf": (fwd_s + dev_s) / audio_seconds,
+        "863_beam_audio_seconds": audio_seconds,
     }
 
 
@@ -470,6 +535,7 @@ def main(extra: bool = False) -> None:
     baseline = get_baseline()
     if extra:
         extras = bench_decode_rtf()
+        extras.update(bench_863_beam())
         extras.update(bench_epoch())
         for cell in ("lstm", "gru"):
             rate = bench_863(cell)

@@ -24,3 +24,10 @@ jax.config.update("jax_platforms", "cpu")
 # golden tests against torch need true fp32 matmuls.  The production bf16
 # path is an explicit opt-in via Config.dtype and unaffected by this.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Most of the fast tier's wall-clock is XLA compiles of tiny test graphs;
+# the persistent cache (keyed by HLO hash — safe across edits) makes
+# repeat runs compile-free.  Delete .jax_test_cache to force cold.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

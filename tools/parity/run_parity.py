@@ -190,7 +190,10 @@ def main(argv=None):
         # tighter band + enough epochs that decays actually trip.  Model and
         # corpus sized for a single-core rig (the torch side trains at
         # minutes/epoch at hidden 128) — the REGIME is the point, not scale.
-        corpus.update(confusable=0.45, noise=0.55)
+        # calibrated on this corpus generator: (0.45, 0.55) lands at ~4%
+        # dev PER, (0.18, 0.75) at ~35%; this pair sits in the target
+        # 15-30% window where the reference's plateau loop trips decays
+        corpus.update(confusable=0.25, noise=0.68)
         if not args.small:
             corpus.update(n_train=400, n_dev=80, n_test=80)
             hp.update(hidden=64, lr=2e-3)
@@ -260,6 +263,10 @@ def main(argv=None):
     env["PYTHONPATH"] = _pythonpath(REPO)
     if args.cpu:
         env["JAX_PLATFORMS"] = "cpu"
+    # reference-exact (num_buckets=0) runs jit per batch shape; the
+    # persistent cache makes the per-shape compiles a one-time cost
+    env["JAX_COMPILATION_CACHE_DIR"] = str(wd / "jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     run([sys.executable, "-m", "ctc_pytorch_tpu.cli.train", "--conf",
          confs[("ours", "train")]], cwd=REPO, env=env,
         log_to=wd / "ours_train.log")
