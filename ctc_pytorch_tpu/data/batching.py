@@ -128,6 +128,7 @@ class BucketBatcher:
                     break
                 yield chunk, None, None
             return
+        all_batches = []
         for b_idx, bound in enumerate(self.boundaries):
             members = np.nonzero(self._assignment == b_idx)[0]
             if len(members) == 0:
@@ -140,8 +141,15 @@ class BucketBatcher:
             ]
             if self.drop_last and batches and len(batches[-1]) < self.batch_size:
                 batches.pop()
-            for chunk in batches:
-                yield chunk, bound, self.label_pad
+            all_batches.extend((chunk, bound, self.label_pad)
+                               for chunk in batches)
+        if self.shuffle:
+            # interleave buckets: without this every epoch ran short
+            # utterances first and long last — a systematic curriculum the
+            # reference's fully-shuffled loader does not have (measured
+            # worse dev WER at hard regimes); batch SHAPES stay per-bucket
+            rng.shuffle(all_batches)
+        yield from all_batches
 
     def num_batches(self) -> int:
         if self._assignment is None:
