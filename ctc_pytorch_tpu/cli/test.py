@@ -43,6 +43,7 @@ def evaluate(
     test_ds.preload(cfg.num_workers)
     loader = SpeechDataLoader(
         test_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
+        mode=cfg.batch_mode,
     )
 
     on_device_beam = cfg.decode_type == "BeamDevice"

@@ -42,11 +42,11 @@ def main(argv=None):
     dev_ds.preload(cfg.num_workers)
     train_loader = SpeechDataLoader(
         train_ds, cfg.batch_size, shuffle=cfg.shuffle_train,
-        num_buckets=cfg.num_buckets, seed=cfg.seed,
+        num_buckets=cfg.num_buckets, seed=cfg.seed, mode=cfg.batch_mode,
     )
     dev_loader = SpeechDataLoader(
         dev_ds, cfg.batch_size, shuffle=False, num_buckets=cfg.num_buckets,
-        seed=cfg.seed,
+        seed=cfg.seed, mode=cfg.batch_mode,
     )
     # device cache is wired after the (optional) mesh exists below
 

@@ -151,6 +151,12 @@ class Config:
     max_frames: int = 512  # static pad/bucket ceiling (XLA static shapes)
     max_label_len: int = 96
     num_buckets: int = 4
+    # 'quantized': reference-dynamics batching (fully-shuffled composition,
+    # T padded up to num_buckets static boundaries) — the accuracy-parity
+    # default.  'bucket': length-homogeneous batches (least padding, peak
+    # throughput; composition correlates with length, which measurably
+    # costs PER at hard regimes).  num_buckets=0 = reference-exact padding.
+    batch_mode: str = "quantized"
     dtype: str = "bfloat16"  # compute dtype for matmuls; params/loss stay fp32
     data_axis: str = "data"  # mesh axis name for data parallelism
     save_every: int = 0  # periodic durable checkpoint cadence (epochs); 0 = off

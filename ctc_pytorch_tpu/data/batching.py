@@ -75,7 +75,21 @@ def collate(
 
 
 class BucketBatcher:
-    """Assign items to static length buckets; yield fixed-shape batches."""
+    """Yield fixed-shape batches; three modes trading padding vs dynamics.
+
+    - ``quantized`` (default): batches form in fully-shuffled dataset order
+      — the reference loader's composition (``train_ctc.py:91``) — and each
+      batch's T pads UP to the nearest of ``num_buckets`` static boundaries,
+      so XLA still compiles a bounded shape set.  Matches the reference's
+      training dynamics (measured: the torch recipe and this mode land
+      within seed spread of each other on a hard corpus where ``bucket``
+      mode was ~2.5 PER points behind).
+    - ``bucket``: length-homogeneous batches (items grouped by bucket) —
+      least padding, peak throughput, but batch composition correlates
+      with utterance length, which measurably shifts training dynamics.
+    - ``num_buckets=0``: reference-exact per-batch-max padding (dynamic
+      shapes; parity/debug only).
+    """
 
     def __init__(
         self,
@@ -87,12 +101,16 @@ class BucketBatcher:
         seed: int = 0,
         shuffle: bool = True,
         drop_last: bool = False,
+        mode: str = "quantized",
     ):
         self.lengths = np.asarray(lengths)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        if mode not in ("quantized", "bucket"):
+            raise ValueError(f"unknown batch mode: {mode!r}")
+        self.mode = mode
         if num_buckets == 0:
             # reference-exact mode: batches form in (shuffled) dataset order
             # and pad to their own max T/L, byte-identical to the torch
@@ -128,6 +146,21 @@ class BucketBatcher:
                     break
                 yield chunk, None, None
             return
+        if self.mode == "quantized":
+            # reference composition, static shapes: random order, then pad
+            # each batch's max T up to its quantile boundary
+            order = np.arange(len(self.lengths))
+            if self.shuffle:
+                rng.shuffle(order)
+            bounds = np.asarray(self.boundaries)
+            for i in range(0, len(order), self.batch_size):
+                chunk = order[i : i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                t_max = int(self.lengths[chunk].max())
+                t_pad = int(bounds[np.searchsorted(bounds, t_max)])
+                yield chunk, t_pad, self.label_pad
+            return
         all_batches = []
         for b_idx, bound in enumerate(self.boundaries):
             members = np.nonzero(self._assignment == b_idx)[0]
@@ -152,7 +185,7 @@ class BucketBatcher:
         yield from all_batches
 
     def num_batches(self) -> int:
-        if self._assignment is None:
+        if self._assignment is None or self.mode == "quantized":
             n_items = len(self.lengths)
             if self.drop_last:
                 return n_items // self.batch_size
@@ -185,6 +218,7 @@ class SpeechDataLoader:
         seed: int = 0,
         drop_last: bool = False,
         pad_to_full_batch: bool = True,
+        mode: str = "quantized",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -197,6 +231,7 @@ class SpeechDataLoader:
             seed=seed,
             shuffle=shuffle,
             drop_last=drop_last,
+            mode=mode,
         )
         self.epoch = 0
 
@@ -356,25 +391,41 @@ class DeviceCachedLoader:
         ds = loader.dataset
         batcher = loader.batcher
         self._utts = [ds.items[i][0] for i in range(len(ds))]
-        # bucket membership and position within the bucket
         n = len(ds)
-        self._bucket_of = batcher._assignment
-        self._pos_in_bucket = np.zeros(n, np.int64)
         self._bucket_arrays = {}
-        for b_idx, bound in enumerate(batcher.boundaries):
-            members = np.nonzero(self._bucket_of == b_idx)[0]
-            if len(members) == 0:
-                continue
-            self._pos_in_bucket[members] = np.arange(len(members))
-            items = [ds[int(i)] for i in members]
-            host = collate(items, bound, batcher.label_pad)
-            self._bucket_arrays[b_idx] = {
+        if batcher.mode == "quantized":
+            # one plane at the top boundary; per-batch T is a device-side
+            # slice down to the batch's own quantized t_pad
+            self._bucket_of = np.zeros(n, np.int64)
+            self._pos_in_bucket = np.arange(n)
+            top = batcher.boundaries[-1]
+            items = [ds[int(i)] for i in range(n)]
+            host = collate(items, top, batcher.label_pad)
+            self._bucket_arrays[0] = {
                 "feats": self._put(host.feats),
                 "labels": self._put(host.labels),
                 "in_len": self._put(host.input_lengths),
                 "lab_len": self._put(host.label_lengths),
-                "t_pad": bound,
+                "t_pad": top,
             }
+        else:
+            # bucket membership and position within the bucket
+            self._bucket_of = batcher._assignment
+            self._pos_in_bucket = np.zeros(n, np.int64)
+            for b_idx, bound in enumerate(batcher.boundaries):
+                members = np.nonzero(self._bucket_of == b_idx)[0]
+                if len(members) == 0:
+                    continue
+                self._pos_in_bucket[members] = np.arange(len(members))
+                items = [ds[int(i)] for i in members]
+                host = collate(items, bound, batcher.label_pad)
+                self._bucket_arrays[b_idx] = {
+                    "feats": self._put(host.feats),
+                    "labels": self._put(host.labels),
+                    "in_len": self._put(host.input_lengths),
+                    "lab_len": self._put(host.label_lengths),
+                    "t_pad": bound,
+                }
 
     @staticmethod
     def estimate_bytes(loader: "SpeechDataLoader") -> int:
@@ -386,6 +437,10 @@ class DeviceCachedLoader:
             return 1 << 62
         dim = loader.dataset[0][0].shape[1]
         tot = 0
+        if batcher.mode == "quantized":
+            m = len(batcher.lengths)
+            top = batcher.boundaries[-1]
+            return m * (top * dim * 4 + batcher.label_pad * 4 + 8)
         for b_idx, bound in enumerate(batcher.boundaries):
             m = int(np.sum(batcher._assignment == b_idx))
             if m == 0:
@@ -431,12 +486,15 @@ class DeviceCachedLoader:
                 labels = jnp.take(arrs["labels"], pos, axis=0)
                 in_len = jnp.take(arrs["in_len"], pos, axis=0)
                 lab_len = jnp.take(arrs["lab_len"], pos, axis=0)
+            if t_pad and t_pad < arrs["t_pad"]:
+                feats = feats[:, :t_pad]  # quantized: slice to batch bound
+            denom = t_pad or arrs["t_pad"]
             mask = np.ones((len(idx),), np.float32)
             if n_real < len(idx):
                 mask[n_real:] = 0.0
             yield Batch(
                 feats=feats,
-                input_frac=(in_len / np.float32(arrs["t_pad"])).astype(
+                input_frac=(in_len / np.float32(denom)).astype(
                     jnp.float32
                 ),
                 input_lengths=in_len,

@@ -108,11 +108,13 @@ def test_collate_fractional_sizes(tmp_path):
     )
 
 
-def test_bucketed_loader_static_shapes(tmp_path):
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_bucketed_loader_static_shapes(tmp_path, mode):
     _write_corpus(tmp_path, n=20)
     vocab = Vocab(tmp_path / "units")
     ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text", _cfg())
-    loader = SpeechDataLoader(ds, batch_size=4, num_buckets=3, seed=1)
+    loader = SpeechDataLoader(ds, batch_size=4, num_buckets=3, seed=1,
+                              mode=mode)
     shapes = set()
     seen = []
     n_items = 0
@@ -129,6 +131,72 @@ def test_bucketed_loader_static_shapes(tmp_path):
     assert n_items == 20
     assert sorted(seen) == sorted(f"utt{i:02d}" for i in range(20))
     assert len(shapes) <= 3  # bounded compilation
+
+
+def test_quantized_mode_reference_composition(tmp_path):
+    """Quantized mode = reference-exact batch COMPOSITION (same utterance
+    order as num_buckets=0 with the same seed) with T quantized up to a
+    bounded boundary set (static shapes for XLA)."""
+    _write_corpus(tmp_path, n=22)
+    vocab = Vocab(tmp_path / "units")
+    ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text",
+                       _cfg())
+    exact = SpeechDataLoader(ds, batch_size=4, num_buckets=0, seed=5)
+    quant = SpeechDataLoader(ds, batch_size=4, num_buckets=3, seed=5,
+                             mode="quantized")
+    bounds = quant.batcher.boundaries
+    for epoch in (0, 2):
+        exact.set_epoch(epoch)
+        quant.set_epoch(epoch)
+        eb, qb = list(exact), list(quant)
+        assert len(eb) == len(qb)
+        shapes = set()
+        for e, q in zip(eb, qb):
+            assert e.utts == q.utts  # identical composition AND order
+            shapes.add(q.feats.shape[1])
+            # t_pad is the smallest boundary >= this batch's max length
+            t_max = int(e.input_lengths[e.example_mask > 0].max())
+            expect = min(b for b in bounds if b >= t_max)
+            assert q.feats.shape[1] == expect
+            np.testing.assert_array_equal(e.input_lengths, q.input_lengths)
+            # padded region is zeros; real content identical
+            t_exact = e.feats.shape[1]
+            np.testing.assert_array_equal(q.feats[:, :t_exact], e.feats)
+            assert (q.feats[:, t_exact:] == 0).all()
+            # frac contract follows the QUANTIZED pad (frames / T_pad)
+            np.testing.assert_allclose(
+                q.input_frac, e.input_lengths / q.feats.shape[1], rtol=1e-6)
+        assert shapes <= set(bounds)
+
+
+def test_quantized_device_cache_equals_host(tmp_path):
+    """DeviceCachedLoader in quantized mode (single top-bound plane +
+    per-batch slice) matches the host loader batch-for-batch."""
+    from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+
+    _write_corpus(tmp_path, n=19)
+    vocab = Vocab(tmp_path / "units")
+    ds = SpeechDataset(vocab, tmp_path / "feats.scp", tmp_path / "phn_text",
+                       _cfg())
+    host = SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=3,
+                            mode="quantized")
+    dev = DeviceCachedLoader(
+        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=3,
+                         mode="quantized"))
+    assert dev.total_bytes() == DeviceCachedLoader.estimate_bytes(host)
+    for epoch in (0, 1):
+        host.set_epoch(epoch)
+        dev.set_epoch(epoch)
+        hb, db = list(host), list(dev)
+        assert len(hb) == len(db)
+        for h, d in zip(hb, db):
+            assert h.utts == d.utts
+            np.testing.assert_array_equal(h.feats, np.asarray(d.feats))
+            np.testing.assert_array_equal(h.labels, np.asarray(d.labels))
+            np.testing.assert_allclose(h.input_frac,
+                                       np.asarray(d.input_frac), rtol=1e-6)
+            np.testing.assert_array_equal(h.example_mask,
+                                          np.asarray(d.example_mask))
 
 
 def test_loader_epoch_shuffle_deterministic(tmp_path):

@@ -9,7 +9,11 @@ from ctc_pytorch_tpu.data.kaldi_io import ArkWriter
 from ctc_pytorch_tpu.vocab import Vocab
 
 
-def test_device_cache_equals_host_loader(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_device_cache_equals_host_loader(tmp_path, mode):
     rng = np.random.RandomState(0)
     ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
     with ArkWriter(ark, scp) as w:
@@ -26,9 +30,11 @@ def test_device_cache_equals_host_loader(tmp_path):
     cfg.n_skip_frame, cfg.n_downsample = 2, 2
     vocab = Vocab(str(tmp_path / "units"))
     ds = SpeechDataset(vocab, scp, str(tmp_path / "lab"), cfg)
-    host = SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7)
+    host = SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7,
+                            mode=mode)
     dev = DeviceCachedLoader(
-        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7)
+        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7,
+                         mode=mode)
     )
     assert dev.total_bytes() > 0
     for epoch in (0, 1):
