@@ -49,10 +49,18 @@ def waves() -> dict:
 
 
 def main() -> None:
+    import os
+
+    # config.update('jax_platforms') alone does NOT unseat the axon TPU
+    # plugin in this image — the env var must be set before backend init
+    # (same order tests/conftest.py uses), else the fixture silently bakes
+    # TPU numerics and the CPU-run pinning test fails by ~1e-1
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
     from ctc_pytorch_tpu.frontend.features import (
         FrontendConfig,
