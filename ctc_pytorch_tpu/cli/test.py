@@ -63,6 +63,7 @@ def evaluate(
         return log_probs
 
     total_cer = total_wer = 0
+    num_sentences = 0
     start = time.time()
     n = 0
     for batch in loader:
@@ -96,6 +97,7 @@ def evaluate(
             total_wer += decoder.scorer.wer(decoded[i], targets[i])
             decoder.scorer.num_word += len(targets[i].split())
             decoder.scorer.num_char += len(targets[i])
+            num_sentences += 1
         n += 1
         if max_batches and n >= max_batches:
             break
@@ -104,7 +106,9 @@ def evaluate(
     wer = 100.0 * total_wer / max(decoder.scorer.num_word, 1)
     log(f"character error rate on test set: {cer:.4f}")
     log(f"word error rate on test set: {wer:.4f}")
-    log(f"time used for decode {decoder.scorer.num_word} sentences: "
+    # sentence count, matching the reference's ``len(test_dataset)`` print
+    # (test_ctc.py:112)
+    log(f"time used for decode {num_sentences} sentences: "
         f"{minutes:.4f} minutes")
     return {"cer": cer, "wer": wer, "decode_minutes": minutes}
 

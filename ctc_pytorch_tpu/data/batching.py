@@ -121,8 +121,31 @@ class BucketBatcher:
             self.label_pad = max(1, int(np.max(label_lengths)))
             self._assignment = None
             return
-        # bucket boundaries at length quantiles, aligned up
-        qs = np.quantile(self.lengths, np.linspace(0, 1, num_buckets + 1)[1:])
+        if mode == "quantized":
+            # boundaries at quantiles of the per-batch MAX distribution
+            # (simulated over shuffled epochs): with random composition a
+            # batch's max length concentrates near the top of the length
+            # distribution, so utterance-length quantiles would put every
+            # boundary where no batch max ever lands and all batches would
+            # pad to ~global max — measured ~2 dev PER points worse than
+            # the reference's per-batch-max padding at hard regimes.  With
+            # batch-max quantiles the mean overshoot over the reference's
+            # padding is a few percent, at num_buckets compiled shapes.
+            sim_rng = np.random.RandomState(seed ^ 0x5EED)
+            reps = []
+            n = len(self.lengths)
+            n_full = (n // batch_size) * batch_size
+            for _ in range(32):
+                perm = sim_rng.permutation(n)[:n_full]
+                reps.append(
+                    self.lengths[perm].reshape(-1, batch_size).max(axis=1)
+                )
+            maxes = np.concatenate(reps) if reps else self.lengths
+            qs = np.quantile(maxes, np.linspace(0, 1, num_buckets + 1)[1:])
+        else:
+            # bucket boundaries at utterance-length quantiles, aligned up
+            qs = np.quantile(self.lengths,
+                             np.linspace(0, 1, num_buckets + 1)[1:])
         self.boundaries = sorted({_round_up(int(np.ceil(q)), align) for q in qs})
         if self.boundaries[-1] < self.lengths.max():
             self.boundaries[-1] = _round_up(int(self.lengths.max()), align)

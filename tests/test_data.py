@@ -169,6 +169,41 @@ def test_quantized_mode_reference_composition(tmp_path):
         assert shapes <= set(bounds)
 
 
+def test_quantized_boundaries_track_batch_max():
+    """Quantized-mode boundaries sit at quantiles of the per-batch MAX
+    length distribution, so the padding overhead over the reference's
+    per-batch-max padding stays small.  (Utterance-length quantiles would
+    put every boundary below where random-composition batch maxes land,
+    padding nearly every batch to ~global max — measured ~2 dev PER points
+    worse at hard regimes.)"""
+    from ctc_pytorch_tpu.data.batching import BucketBatcher
+
+    rng = np.random.RandomState(0)
+    # speech-like right-skewed lengths: many short, few long
+    lengths = np.clip(50 + rng.gamma(2.0, 40.0, size=512), None, 500)
+    lengths = lengths.astype(np.int64)
+    lab = np.full(512, 10)
+    b = BucketBatcher(lengths, lab, batch_size=8, num_buckets=8, seed=3,
+                      mode="quantized")
+    tot_pad = tot_max = 0
+    shapes = set()
+    for chunk, t_pad, _ in b.epoch_batches(0):
+        m = int(lengths[chunk].max())
+        assert t_pad >= m  # never truncates
+        shapes.add(t_pad)
+        tot_pad += t_pad * len(chunk)
+        tot_max += m * len(chunk)
+    overshoot = tot_pad / tot_max - 1.0
+    # mean padded frames within ~10% of reference per-batch-max padding
+    assert overshoot < 0.10, overshoot
+    assert len(shapes) <= 8  # still a bounded compiled-shape set
+    # global-max padding (what utterance quantiles degenerate to) would
+    # cost far more on this distribution
+    top = max(b.boundaries)
+    global_overshoot = top * 512 / tot_max - 1.0
+    assert global_overshoot > 2 * overshoot
+
+
 def test_quantized_device_cache_equals_host(tmp_path):
     """DeviceCachedLoader in quantized mode (single top-bound plane +
     per-batch slice) matches the host loader batch-for-batch."""

@@ -143,8 +143,9 @@ def test_lr_scaling():
     assert abs(get_lr(new_opt) - 0.005) < 1e-9
 
 
-def test_rollback_restores_params():
+def test_rollback_restores_params(tmp_path):
     cfg = _tiny_cfg(num_epoches=1)
+    cfg.checkpoint_dir = str(tmp_path)
     spec = ModelSpec.from_config(cfg, num_class=5)
     trainer = Trainer(cfg, spec)
     before = [np.asarray(x) for x in
