@@ -61,7 +61,8 @@ class Recognizer:
             feats, frac, _ = waveform_frontend(
                 self.frontend, wavs, wav_lengths, self.cmvn
             )
-            log_probs, _ = CTCModel.apply(spec, params, mstate, feats)
+            log_probs, _ = CTCModel.apply(spec, params, mstate, feats,
+                                          frac=frac)
             t_out = log_probs.shape[0]
             return log_probs, (frac * t_out).astype("int32")
 

@@ -58,8 +58,10 @@ def evaluate(
     import jax
 
     @jax.jit
-    def forward(feats):
-        log_probs, _ = CTCModel.apply(spec, params, mstate, feats)
+    def forward(feats, frac):
+        # frac feeds the padding-masked BN planes when the checkpoint was
+        # trained with spec.bn_mask_padding (a no-op otherwise)
+        log_probs, _ = CTCModel.apply(spec, params, mstate, feats, frac=frac)
         return log_probs
 
     total_cer = total_wer = 0
@@ -67,7 +69,9 @@ def evaluate(
     start = time.time()
     n = 0
     for batch in loader:
-        log_probs = forward(jnp.asarray(batch.feats))
+        log_probs = forward(
+            jnp.asarray(batch.feats), jnp.asarray(batch.input_frac)
+        )
         t_out = log_probs.shape[0]
         input_sizes = (batch.input_frac * t_out).astype(np.int32)
         if on_device_beam:

@@ -77,13 +77,20 @@ def main(argv=None):
             train_loader = DeviceCachedLoader(train_loader, mesh=mesh)
             dev_loader = DeviceCachedLoader(dev_loader, mesh=mesh)
         else:
-            log(
-                f"WARNING: device cache disabled — estimated "
-                f"{est / (1 << 30):.2f} GB exceeds device_cache_max_gb="
-                f"{cfg.device_cache_max_gb}; falling back to async host "
-                f"prefetch (expect lower epoch rate; raise the budget if "
-                f"HBM allows)"
-            )
+            if est >= (1 << 62):  # num_buckets=0 sentinel: not cacheable
+                log(
+                    "WARNING: device cache disabled — num_buckets=0 "
+                    "(reference-exact per-batch shapes) is not cacheable; "
+                    "falling back to async host prefetch"
+                )
+            else:
+                log(
+                    f"WARNING: device cache disabled — estimated "
+                    f"{est / (1 << 30):.2f} GB exceeds device_cache_max_gb="
+                    f"{cfg.device_cache_max_gb}; falling back to async host "
+                    f"prefetch (expect lower epoch rate; raise the budget "
+                    f"if HBM allows)"
+                )
             train_loader = PrefetchLoader(train_loader, mesh=mesh)
             dev_loader = PrefetchLoader(dev_loader, mesh=mesh)
     frontend_fn = None

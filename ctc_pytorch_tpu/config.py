@@ -161,6 +161,13 @@ class Config:
     data_axis: str = "data"  # mesh axis name for data parallelism
     save_every: int = 0  # periodic durable checkpoint cadence (epochs); 0 = off
     remat: bool = False  # jax.checkpoint each RNN layer (memory for FLOPs)
+    # BN statistics over valid frames only + zeroed padding planes, making
+    # the train step independent of the padded length (the reference's BN
+    # normalises padding too — model_ctc.py:29-32 — so its dynamics shift
+    # with batch-max padding; see PARITY_RUN.md padding ladder).  With
+    # bias-free RNNs this makes no-CNN training exactly padding-invariant,
+    # so quantized/bucketed static shapes cost zero accuracy.
+    bn_mask_padding: bool = False
     ctc_impl: str = "scan"  # 'scan' | 'pallas' CTC loss backend
     # fused Pallas RNN kernels for train+eval when the Mosaic tiling limits
     # allow (H % 128, 2B % 8 on real TPU); models/rnn.py silently falls back

@@ -51,6 +51,12 @@ class ModelSpec:
     compute_dtype: str = "bfloat16"
     use_pallas_rnn: bool = False  # fused Pallas LSTM scan on the eval path
     remat: bool = False  # rematerialise RNN layers in the backward pass
+    # train-time BN statistics over valid frames only, making training
+    # dynamics independent of padded length (the reference normalises
+    # padding too, model_ctc.py:29-32 — with bias-free RNNs that BN plane
+    # is the ONLY padding leak in no-CNN configs, so this flag makes
+    # bucketed/quantized static-shape batching cost zero accuracy)
+    bn_mask_padding: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config, num_class: int) -> "ModelSpec":
@@ -68,6 +74,7 @@ class ModelSpec:
             compute_dtype=cfg.dtype,
             use_pallas_rnn=cfg.use_pallas_rnn,
             remat=cfg.remat,
+            bn_mask_padding=cfg.bn_mask_padding,
         )
 
     def to_dict(self) -> dict:
@@ -140,12 +147,22 @@ class CTCModel:
         lengths: Optional[jnp.ndarray] = None,
         visualize: bool = False,
         axis_name: Optional[str] = None,
+        frac: Optional[jnp.ndarray] = None,
     ):
         """(B, T, F) -> log_probs (T', B, num_class), new_state[, visual].
 
         ``axis_name``: when the step runs per-shard inside ``shard_map``
         over a data mesh, BN batch statistics psum over this axis so the
-        math stays identical to the single-device global batch."""
+        math stays identical to the single-device global batch.
+
+        ``frac``: the fractional-length contract values (valid/padded
+        frames, ``train_ctc.py:46``).  Only used when
+        ``spec.bn_mask_padding`` — BN planes then take statistics over
+        valid frames only and zero the padding (see ``batchnorm_apply``),
+        which with bias-free RNNs makes the no-CNN forward/backward exactly
+        independent of the padded length.  CNN configs mask the RNN-level
+        BNs the same way but the conv stack's own BN still sees padding,
+        so invariance there is approximate."""
         compute_dtype = jnp.dtype(spec.compute_dtype)
         new_state: Dict[str, Any] = {}
         visual = [x] if visualize else None
@@ -173,6 +190,16 @@ class CTCModel:
         else:
             out = x.transpose(1, 0, 2)
 
+        bn_mask = None
+        if spec.bn_mask_padding and frac is not None:
+            # valid frames at the RNN input, via the same truncating
+            # contract the loss uses (train_ctc.py:46)
+            t_rnn = out.shape[0]
+            valid = (frac * t_rnn).astype(jnp.int32)
+            bn_mask = (
+                jnp.arange(t_rnn)[:, None] < valid[None, :]
+            ).astype(jnp.float32)  # (T', B)
+
         out, new_state["rnns"] = rnn_stack_apply(
             params["rnns"], state["rnns"], out,
             cell=spec.rnn_cell, hidden_size=spec.rnn_hidden_size,
@@ -181,6 +208,7 @@ class CTCModel:
             pallas=spec.use_pallas_rnn,
             remat=spec.remat,
             axis_name=axis_name,
+            bn_mask=bn_mask,
         )
 
         t, b, h = out.shape
@@ -188,7 +216,7 @@ class CTCModel:
         if spec.batch_norm:
             flat, new_state["fc_bn"] = batchnorm_apply(
                 params["fc_bn"], state["fc_bn"], flat, train,
-                axis_name=axis_name,
+                axis_name=axis_name, mask=bn_mask,
             )
         logits = linear_apply(params["fc"], flat, compute_dtype)
         logits = logits.reshape(t, b, -1).astype(jnp.float32)

@@ -49,6 +49,7 @@ def batchnorm_apply(
     momentum: float = 0.1,
     eps: float = 1e-5,
     axis_name: Optional[str] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Normalise the last axis of ``x`` (any leading shape).
 
@@ -56,11 +57,34 @@ def batchnorm_apply(
     are psum-reduced over the named axis so training numerics match the
     single-device global-batch computation (the TPU-native equivalent of
     SyncBatchNorm — the reference's BN sees the whole batch on one GPU).
+
+    ``mask``: optional 0/1 validity over the leading (flattened) positions.
+    When given, train-time batch statistics are computed over valid
+    positions only — this removes the reference's padding-in-BN quirk
+    (``model_ctc.py:29-32`` normalises every (time, batch) slot including
+    zero padding), making training dynamics independent of the padded
+    length.  Invalid positions are zeroed after normalisation (train AND
+    eval), so bias-free recurrences downstream stay exactly zero through
+    padding — without this, BN's ``bias - mean*scale/std`` offset leaks
+    batch statistics into the padded frames that seed the backward-RNN
+    scan, and padding-invariance would not hold.
     """
     feat = x.shape[-1]
     flat = x.reshape(-1, feat)
     if train:
-        if axis_name is not None:
+        if mask is not None:
+            m = mask.reshape(-1, 1).astype(flat.dtype)
+            n = jnp.sum(m)
+            s1 = jnp.sum(flat * m, axis=0)
+            s2 = jnp.sum(flat * flat * m, axis=0)
+            if axis_name is not None:
+                n = jax.lax.psum(n, axis_name)
+                s1 = jax.lax.psum(s1, axis_name)
+                s2 = jax.lax.psum(s2, axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            var = s2 / n - mean * mean
+        elif axis_name is not None:
             n = flat.shape[0] * jax.lax.psum(1, axis_name)
             mean = jax.lax.psum(jnp.sum(flat, axis=0), axis_name) / n
             sq = jax.lax.psum(jnp.sum(flat * flat, axis=0), axis_name) / n
@@ -70,7 +94,8 @@ def batchnorm_apply(
             var = jnp.var(flat, axis=0)
             n = flat.shape[0]
         # torch running_var uses the unbiased estimator
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / jnp.maximum(n - 1, 1)
+                          if mask is not None else n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
@@ -81,6 +106,8 @@ def batchnorm_apply(
         new_state = state
     inv = jax.lax.rsqrt(var + eps)
     out = (x - mean) * (inv * params["scale"]) + params["bias"]
+    if mask is not None:
+        out = out * mask.reshape(x.shape[:-1] + (1,)).astype(out.dtype)
     return out.astype(x.dtype), new_state
 
 

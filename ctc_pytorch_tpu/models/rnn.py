@@ -237,12 +237,17 @@ def rnn_layer_apply(
     compute_dtype=jnp.bfloat16,
     pallas: bool = False,
     axis_name: Optional[str] = None,
+    bn_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """(T, B, F) -> (T, B, H * num_directions), plus new BN state."""
+    """(T, B, F) -> (T, B, H * num_directions), plus new BN state.
+
+    ``bn_mask``: optional (T, B) frame validity for padding-masked BN
+    statistics (see ``batchnorm_apply``)."""
     new_state = dict(state)
     if "bn" in params:
         x, new_state["bn"] = batchnorm_apply(
-            params["bn"], state["bn"], x, train, axis_name=axis_name
+            params["bn"], state["bn"], x, train, axis_name=axis_name,
+            mask=bn_mask,
         )
     use_pallas_here = (
         "bwd" in params and pallas and cell in ("lstm", "gru", "rnn")
@@ -384,6 +389,7 @@ def rnn_stack_apply(
     pallas: bool = False,
     remat: bool = False,
     axis_name: Optional[str] = None,
+    bn_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, list]:
     new_states = []
     rngs = (
@@ -394,7 +400,7 @@ def rnn_stack_apply(
         rnn_layer_apply,
         cell=cell, hidden_size=hidden_size, drop_rate=drop_rate,
         train=train, lengths=lengths, compute_dtype=compute_dtype,
-        pallas=pallas, axis_name=axis_name,
+        pallas=pallas, axis_name=axis_name, bn_mask=bn_mask,
     )
     if remat:
         # trade FLOPs for HBM: recompute each layer's activations in the

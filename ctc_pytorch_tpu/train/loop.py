@@ -70,7 +70,7 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
             feats, frac, _ = frontend_fn(feats, frac)
         out = CTCModel.apply(
             spec, params, model_state, feats, train=train, rng=rng,
-            axis_name=axis,
+            axis_name=axis, frac=frac,
         )
         log_probs, new_mstate = out[0], out[1]
         t_out = log_probs.shape[0]
