@@ -408,9 +408,12 @@ def bench_epoch() -> dict:
     out = {}
     from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
 
+    from ctc_pytorch_tpu.data.batching import PrefetchLoader
+
     cached = DeviceCachedLoader(loader)
     variants = [
         ("_nower", loader, False),
+        ("_prefetch_nower", PrefetchLoader(loader), False),
         ("_devcache", cached, True),
         ("_devcache_nower", cached, False),
     ]

@@ -91,8 +91,9 @@ def main(argv=None):
                     f"prefetch (expect lower epoch rate; raise the budget "
                     f"if HBM allows)"
                 )
-            train_loader = PrefetchLoader(train_loader, mesh=mesh)
-            dev_loader = PrefetchLoader(dev_loader, mesh=mesh)
+            if cfg.host_prefetch:
+                train_loader = PrefetchLoader(train_loader, mesh=mesh)
+                dev_loader = PrefetchLoader(dev_loader, mesh=mesh)
     frontend_fn = None
     if cfg.feature_type == "waveform":
         # waveform-in end-to-end: the frontend runs inside the train step

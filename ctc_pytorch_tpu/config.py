@@ -120,6 +120,13 @@ class Config:
     # device_cache_max_gb, falling back to host streaming + prefetch
     device_cache: bool = True
     device_cache_max_gb: float = 6.0
+    # when the device cache is disabled/doesn't fit: overlap H2D copies of
+    # upcoming batches with compute (PrefetchLoader).  device_put must be
+    # genuinely async for this to win — on tunneled/remote device
+    # transports each put is a blocking RPC and prefetch measures SLOWER
+    # than serial streaming (BENCH_EXTRA epoch_utts_per_sec_prefetch_nower
+    # vs _nower); set False on such rigs
+    host_prefetch: bool = True
     feature_dim: int = 81
     output_class_dim: int = 39
     mel: bool = False
@@ -179,7 +186,9 @@ class Config:
     test_scp_path: str = "data/test/fbank.scp"
     test_lab_path: str = "data/test/phn_text"
     decode_type: str = "Greedy"
-    beam_width: int = 10
+    # north-star benchmark width (BASELINE.md config #3: beam=20 + bigram
+    # LM; the reference's own default is 200, ref timit/utils/ctcDecoder.py:171)
+    beam_width: int = 20
     beam_max_len: int = 96  # BeamDevice hypothesis capacity (tokens)
     # host Beam decode: use the C++ search (native/ctc_native.cpp) when the
     # shared library built; False forces the pure-python reference search —
