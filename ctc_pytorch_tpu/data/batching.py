@@ -135,12 +135,17 @@ class BucketBatcher:
             reps = []
             n = len(self.lengths)
             n_full = (n // batch_size) * batch_size
-            for _ in range(32):
-                perm = sim_rng.permutation(n)[:n_full]
-                reps.append(
-                    self.lengths[perm].reshape(-1, batch_size).max(axis=1)
-                )
-            maxes = np.concatenate(reps) if reps else self.lengths
+            if n_full == 0:
+                # corpus smaller than one batch: every batch is the whole
+                # dataset, so its max is the corpus max — use raw lengths
+                maxes = self.lengths
+            else:
+                for _ in range(32):
+                    perm = sim_rng.permutation(n)[:n_full]
+                    reps.append(
+                        self.lengths[perm].reshape(-1, batch_size).max(axis=1)
+                    )
+                maxes = np.concatenate(reps)
             qs = np.quantile(maxes, np.linspace(0, 1, num_buckets + 1)[1:])
         else:
             # bucket boundaries at utterance-length quantiles, aligned up

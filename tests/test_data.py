@@ -204,6 +204,23 @@ def test_quantized_boundaries_track_batch_max():
     assert global_overshoot > 2 * overshoot
 
 
+def test_quantized_smaller_than_one_batch():
+    """Corpus with fewer utterances than batch_size: boundary simulation
+    has zero full batches — must fall back to raw lengths, not crash
+    (regression: np.quantile on an empty batch-max array)."""
+    from ctc_pytorch_tpu.data.batching import BucketBatcher
+
+    lengths = np.array([40, 55, 61])
+    lab = np.array([5, 6, 7])
+    b = BucketBatcher(lengths, lab, batch_size=8, num_buckets=4,
+                      mode="quantized")
+    batches = list(b.epoch_batches(0))
+    assert len(batches) == 1
+    chunk, t_pad, _ = batches[0]
+    assert sorted(chunk.tolist()) == [0, 1, 2]
+    assert t_pad >= 61
+
+
 def test_quantized_device_cache_equals_host(tmp_path):
     """DeviceCachedLoader in quantized mode (single top-bound plane +
     per-batch slice) matches the host loader batch-for-batch."""
