@@ -57,6 +57,14 @@ def evaluate(
 
     import jax
 
+    # multi-chip decode: shard the BeamDevice batch over a data mesh so
+    # each chip searches its shard (decode/beam_device.py sharded path)
+    mesh = None
+    if on_device_beam and jax.device_count() > 1:
+        from ctc_pytorch_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
     @jax.jit
     def forward(feats, frac):
         # frac feeds the padding-masked BN planes when the checkpoint was
@@ -76,7 +84,7 @@ def evaluate(
         input_sizes = (batch.input_frac * t_out).astype(np.int32)
         if on_device_beam:
             decoded = decoder.decode_on_device(
-                log_probs, input_sizes, max_len=cfg.beam_max_len
+                log_probs, input_sizes, max_len=cfg.beam_max_len, mesh=mesh
             )
         else:
             decoded = decoder.decode(

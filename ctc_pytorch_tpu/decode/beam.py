@@ -190,27 +190,38 @@ class BeamDecoder:
         return out
 
     def decode_on_device(self, log_probs, frame_seq_len,
-                         max_len: int = 96) -> List[str]:
+                         max_len: int = 96, mesh=None) -> List[str]:
         """Whole-batch decode in one jitted program (decode/beam_device.py).
 
         ``max_len`` is the fixed hypothesis capacity; when any decoded
         hypothesis fills it, longer candidates may have been truncated and
         a warning is emitted — raise ``beam_max_len`` in the config.
+        With ``mesh`` the batch is sharded over the mesh's data axis and
+        each chip decodes its shard (SPMD, zero cross-chip traffic).
         """
         import logging
 
         import jax.numpy as jnp
 
-        from ctc_pytorch_tpu.decode.beam_device import batched_beam_search
+        from ctc_pytorch_tpu.decode.beam_device import (
+            batched_beam_search, batched_beam_search_sharded,
+        )
 
         probs = jnp.exp(jnp.asarray(log_probs)).transpose(1, 0, 2)
         lm = (jnp.asarray(self.lm_table, jnp.float32)
               if self.lm_table is not None else None)
-        seqs, lens, _ = batched_beam_search(
-            probs, jnp.asarray(frame_seq_len), beam_width=self.beam_width,
-            max_len=max_len, blank=self.blank_index, lm_table=lm,
-            lm_alpha=self.lm_alpha,
-        )
+        if mesh is not None:
+            seqs, lens, _ = batched_beam_search_sharded(
+                probs, jnp.asarray(frame_seq_len), mesh,
+                beam_width=self.beam_width, max_len=max_len,
+                blank=self.blank_index, lm_table=lm, lm_alpha=self.lm_alpha,
+            )
+        else:
+            seqs, lens, _ = batched_beam_search(
+                probs, jnp.asarray(frame_seq_len), beam_width=self.beam_width,
+                max_len=max_len, blank=self.blank_index, lm_table=lm,
+                lm_alpha=self.lm_alpha,
+            )
         seqs, lens = np.asarray(seqs), np.asarray(lens)
         if int(lens.max(initial=0)) >= max_len:
             logging.getLogger(__name__).warning(

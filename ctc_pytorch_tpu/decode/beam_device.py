@@ -199,3 +199,47 @@ def batched_beam_search(
         lm_table=lm_table, lm_alpha=lm_alpha,
     )
     return jax.vmap(fn)(probs, lengths)
+
+
+def batched_beam_search_sharded(
+    probs,  # (B, T, C) probabilities (host or device)
+    lengths,  # (B,)
+    mesh,
+    beam_width: int = 10,
+    max_len: int = 96,
+    blank: int = 0,
+    lm_table: Optional[jnp.ndarray] = None,
+    lm_alpha: float = 0.0,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-chip batched decode: the batch is sharded across ``mesh``'s
+    data axis and the same jitted search runs SPMD — each chip decodes
+    its shard with zero cross-chip traffic (the search is independent
+    per utterance, so XLA partitions the vmap with no collectives).
+
+    The batch is padded up to a multiple of the mesh size by repeating
+    the first row; padded rows are sliced away from the results.
+    """
+    from ctc_pytorch_tpu.parallel.mesh import (
+        batch_sharding, pad_batch_to_devices, replicate,
+    )
+
+    probs = jnp.asarray(probs)
+    lengths = jnp.asarray(lengths)
+    b = probs.shape[0]
+    bp = pad_batch_to_devices(b, mesh.devices.size)
+    if bp != b:
+        reps = jnp.broadcast_to(probs[:1], (bp - b,) + probs.shape[1:])
+        probs = jnp.concatenate([probs, reps], axis=0)
+        lengths = jnp.concatenate(
+            [lengths, jnp.broadcast_to(lengths[:1], (bp - b,))], axis=0)
+    sh = batch_sharding(mesh, axis)
+    probs = jax.device_put(probs, sh)
+    lengths = jax.device_put(lengths, sh)
+    if lm_table is not None:
+        lm_table = replicate(lm_table, mesh)
+    seqs, lens, scores = batched_beam_search(
+        probs, lengths, beam_width=beam_width, max_len=max_len, blank=blank,
+        lm_table=lm_table, lm_alpha=lm_alpha,
+    )
+    return seqs[:b], lens[:b], scores[:b]

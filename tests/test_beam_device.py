@@ -105,6 +105,35 @@ def test_device_beam_property_large():
     np.testing.assert_allclose(scores[0], s_ref, rtol=1e-4)
 
 
+def test_device_beam_sharded_matches_single_device(tmp_path):
+    """Mesh-sharded batched decode (batch split over the 8-device data
+    axis, uneven batch padded up) returns exactly the single-device
+    results, LM fusion included — SPMD serving path."""
+    import jax
+
+    from ctc_pytorch_tpu.decode.beam_device import batched_beam_search_sharded
+    from ctc_pytorch_tpu.parallel import make_mesh
+
+    train_bigram_lm(["aa bb aa bb", "bb aa", "aa aa bb"], tmp_path / "lm.arpa")
+    lm = LanguageModel(tmp_path / "lm.arpa")
+    table = lm.dense_table({0: "blank", 1: "aa", 2: "bb"}, 3).astype(
+        np.float32)
+    probs, lengths = _random_batch(7, b=11, t=10, c=3)  # 11 % 8 != 0
+    ref = batched_beam_search(
+        jnp.asarray(probs), jnp.asarray(lengths), beam_width=6, max_len=12,
+        lm_table=jnp.asarray(table), lm_alpha=0.2,
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    got = batched_beam_search_sharded(
+        probs, lengths, mesh, beam_width=6, max_len=12,
+        lm_table=jnp.asarray(table), lm_alpha=0.2,
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(
+        np.asarray(ref[2]), np.asarray(got[2]), rtol=1e-6)
+
+
 def test_decode_on_device_truncation_warning(caplog):
     import logging
 

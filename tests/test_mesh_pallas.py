@@ -52,14 +52,26 @@ def test_mesh_pallas_loss_equals_single_device():
     rnn_mod.FORCE_PALLAS_OFF_TPU = True
     try:
         train1, _ = make_step_fns(spec, tx, None, ctc_impl="pallas")
-        _, loss1, *_ = train1(state1, feats, frac, labels, label_lens, mask,
-                              key)
+        st1, loss1, *_ = train1(state1, feats, frac, labels, label_lens,
+                                mask, key)
         mesh = make_mesh(jax.devices()[:n_dev])
         trainN, _ = make_step_fns(spec, tx, mesh, ctc_impl="pallas")
         sharded = shard_batch((feats, frac, labels, label_lens, mask), mesh)
-        _, lossN, *_ = trainN(replicate(state2, mesh), *sharded,
-                              replicate(key, mesh))
+        stN, lossN, *_ = trainN(replicate(state2, mesh), *sharded,
+                                replicate(key, mesh))
     finally:
         rnn_mod.FORCE_PALLAS_OFF_TPU = False
     assert np.isfinite(float(lossN))
     np.testing.assert_allclose(float(lossN), float(loss1), rtol=2e-5)
+    # updated params must also agree: psum'd grads through the Pallas VJPs
+    # under shard_map reproduce the single-device optimiser update
+    l1 = jax.tree_util.tree_leaves_with_path(st1.params)
+    lN = jax.tree_util.tree_leaves_with_path(stN.params)
+    assert len(l1) == len(lN) > 0
+    for (p1, a1), (pN, aN) in zip(l1, lN):
+        assert p1 == pN
+        # rtol accommodates Adam amplifying psum reduction-order noise on
+        # near-zero grads; a missing/wrong collective shows up as O(1)
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(aN), rtol=2e-3, atol=1e-6,
+            err_msg=str(p1))
