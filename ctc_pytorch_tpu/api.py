@@ -34,7 +34,12 @@ class Recognizer:
         beam_width: int = 10,
         lm_path: Optional[str] = None,
         lm_alpha: float = 0.1,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        params are replicated across it and each ``recognize`` batch is
+        sharded over the axis, so frontend + model run SPMD on all chips
+        (the per-utterance pipeline needs no collectives)."""
         import jax
 
         from ctc_pytorch_tpu.decode import BeamDecoder, GreedyDecoder
@@ -45,6 +50,12 @@ class Recognizer:
         self.spec, self.params, self.mstate, self.manifest = (
             model_from_package(package_path)
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from ctc_pytorch_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
+            self.mstate = replicate(self.mstate, mesh)
         self.frontend = frontend or WaveFrontendSpec()
         self.cmvn = cmvn
         if decode_type == "Greedy":
@@ -66,7 +77,28 @@ class Recognizer:
             t_out = log_probs.shape[0]
             return log_probs, (frac * t_out).astype("int32")
 
-        self._forward = jax.jit(_forward)
+        if mesh is None:
+            self._forward = jax.jit(_forward)
+        else:
+            # per-shard full pipeline via shard_map (same rationale as the
+            # train step: GSPMD cannot partition Pallas custom calls
+            # through a jit boundary); frontend + eval-mode BN need no
+            # cross-shard collectives
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            repl, data = P(), P("data")
+            self._forward = jax.jit(shard_map(
+                _forward, mesh=mesh,
+                in_specs=(repl, repl, data, data),
+                # log_probs is time-major (T, B, C): batch is axis 1
+                out_specs=(P(None, "data"), data),
+                check_vma=False,
+            ))
 
     def _load(self, item: AudioInput) -> np.ndarray:
         if isinstance(item, (str, Path)):
@@ -83,18 +115,38 @@ class Recognizer:
             list(audio)
         )
         wavs = [self._load(i) for i in items]
+        b = len(wavs)
         lengths = np.asarray([len(w) for w in wavs], np.int32)
         s_max = ((int(lengths.max()) + pad_multiple - 1) // pad_multiple
                  ) * pad_multiple
-        batch = np.zeros((len(wavs), s_max), np.float32)
+        batch = np.zeros((b, s_max), np.float32)
         for i, w in enumerate(wavs):
             batch[i, : len(w)] = w
+        import jax
         import jax.numpy as jnp
 
+        batch, lengths = jnp.asarray(batch), jnp.asarray(lengths)
+        if self.mesh is not None:
+            from ctc_pytorch_tpu.parallel.mesh import (
+                batch_sharding, pad_batch_to_devices,
+            )
+
+            bp = pad_batch_to_devices(b, self.mesh.devices.size)
+            if bp != b:
+                # repeat row 0 so padded rows stay numerically well-formed;
+                # their outputs are sliced away below
+                batch = jnp.concatenate(
+                    [batch, jnp.broadcast_to(batch[:1], (bp - b, s_max))])
+                lengths = jnp.concatenate(
+                    [lengths, jnp.broadcast_to(lengths[:1], (bp - b,))])
+            sh = batch_sharding(self.mesh)
+            batch = jax.device_put(batch, sh)
+            lengths = jax.device_put(lengths, sh)
         log_probs, sizes = self._forward(
-            self.params, self.mstate, jnp.asarray(batch), jnp.asarray(lengths)
+            self.params, self.mstate, batch, lengths
         )
-        out = self.decoder.decode(np.asarray(log_probs), np.asarray(sizes))
+        log_probs, sizes = np.asarray(log_probs)[:, :b], np.asarray(sizes)[:b]
+        out = self.decoder.decode(log_probs, sizes)
         return [s.strip() for s in out]
 
 

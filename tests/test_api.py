@@ -56,6 +56,27 @@ def test_recognizer_end_to_end(tmp_path):
             assert tok in ("aa", "bb", "UNK")
 
 
+def test_recognizer_mesh_matches_single_device(tmp_path):
+    """Recognizer(mesh=...) shards the batch over the 8-device data axis
+    (shard_map'd frontend+model, replicated params) and must transcribe
+    identically to the single-device path, uneven batch included."""
+    from ctc_pytorch_tpu.parallel import make_mesh
+
+    fe = WaveFrontendSpec(
+        frontend=FrontendConfig(num_mel_bins=12), left_ctx=0, right_ctx=0,
+        n_skip_frame=1,
+    )
+    pkg = _mini_package(tmp_path, fe)
+    vocab = Vocab.from_units(["aa", "bb"])
+    rng = np.random.RandomState(3)
+    wavs = [(rng.randn(n) * 500).astype(np.float32)
+            for n in (8000, 5000, 6500)]  # 3 % 8 != 0: exercises padding
+    ref = Recognizer(pkg, vocab, frontend=fe).recognize(wavs)
+    mesh = make_mesh(jax.devices()[:8])
+    got = Recognizer(pkg, vocab, frontend=fe, mesh=mesh).recognize(wavs)
+    assert got == ref
+
+
 def test_streaming_recognizer_matches_batch(tmp_path):
     """feed() in chunks + finish() == one-shot recognize on short audio."""
     from ctc_pytorch_tpu.api import StreamingRecognizer
