@@ -23,20 +23,22 @@ from ctc_pytorch_tpu.train.state import create_train_state
 pytestmark = pytest.mark.slow
 
 
-def _spec():
+def _spec(rnn_type="nn.LSTM"):
     cfg = Config()
     cfg.rnn_hidden_size = 128  # Pallas lane tiling needs H % 128 == 0
     cfg.rnn_layers = 1
     cfg.rnn_input_size = 24
+    cfg.rnn_type = rnn_type
     cfg.dtype = "float32"
     cfg.cnn.add_cnn = False
     spec = ModelSpec.from_config(cfg, num_class=13)
     return cfg, dataclasses.replace(spec, use_pallas_rnn=True, drop_out=0.0)
 
 
-def test_mesh_pallas_loss_equals_single_device():
+@pytest.mark.parametrize("rnn_type", ["nn.LSTM", "nn.GRU"])
+def test_mesh_pallas_loss_equals_single_device(rnn_type):
     n_dev = 8
-    cfg, spec = _spec()
+    cfg, spec = _spec(rnn_type)
     b, t, l = 4 * n_dev, 16, 4  # 4 rows/shard: (2B) % 8 == 0 per device
     rng = np.random.RandomState(0)
     feats = rng.randn(b, t, cfg.rnn_input_size).astype(np.float32)
@@ -70,8 +72,11 @@ def test_mesh_pallas_loss_equals_single_device():
     assert len(l1) == len(lN) > 0
     for (p1, a1), (pN, aN) in zip(l1, lN):
         assert p1 == pN
-        # rtol accommodates Adam amplifying psum reduction-order noise on
-        # near-zero grads; a missing/wrong collective shows up as O(1)
+        # absolute tolerance: Adam normalises grads, so psum
+        # reduction-order noise on a near-zero grad element can flip its
+        # update direction (rel error unbounded) — but any missing/wrong
+        # collective shifts most elements by the full ~lr=1e-3 step size,
+        # an order above this bound
         np.testing.assert_allclose(
-            np.asarray(a1), np.asarray(aN), rtol=2e-3, atol=1e-6,
+            np.asarray(a1), np.asarray(aN), rtol=0, atol=1e-4,
             err_msg=str(p1))
