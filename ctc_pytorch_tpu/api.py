@@ -193,12 +193,28 @@ class StreamingRecognizer:
             return
         abs0 = self._buf_start + (len(self._buf) - len(wav))
         n = 1 << max(int(np.ceil(np.log2(len(wav)))), 12)
-        batch = np.zeros((1, n), np.float32)
-        batch[0, : len(wav)] = wav
-        lengths = np.asarray([len(wav)], np.int32)
+        # under a mesh Recognizer the shard_map'd forward shards the batch
+        # over the data axis, so the single stream is replicated to one row
+        # per device and row 0's outputs are used
+        bp = 1
+        if self.rec.mesh is not None:
+            from ctc_pytorch_tpu.parallel.mesh import pad_batch_to_devices
+
+            bp = pad_batch_to_devices(1, self.rec.mesh.devices.size)
+        batch = np.zeros((bp, n), np.float32)
+        batch[:, : len(wav)] = wav
+        lengths = np.full((bp,), len(wav), np.int32)
+        batch, lengths = jnp.asarray(batch), jnp.asarray(lengths)
+        if self.rec.mesh is not None:
+            import jax
+
+            from ctc_pytorch_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.rec.mesh)
+            batch = jax.device_put(batch, sh)
+            lengths = jax.device_put(lengths, sh)
         log_probs, sizes = self.rec._forward(
-            self.rec.params, self.rec.mstate, jnp.asarray(batch),
-            jnp.asarray(lengths),
+            self.rec.params, self.rec.mstate, batch, lengths,
         )
         lp = np.asarray(log_probs)
         t_valid = int(np.asarray(sizes)[0])

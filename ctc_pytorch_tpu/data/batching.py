@@ -350,8 +350,10 @@ class PrefetchLoader:
             b,
             feats=self._put(b.feats),
             labels=self._put(b.labels),
+            input_frac=self._put(b.input_frac),
             input_lengths=self._put(b.input_lengths),
             label_lengths=self._put(b.label_lengths),
+            example_mask=self._put(b.example_mask),
         )
 
     def __iter__(self):

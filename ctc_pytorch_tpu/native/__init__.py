@@ -88,6 +88,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
             ctypes.c_long,
         ]
+        lib.ark_open.restype = ctypes.c_int32
+        lib.ark_open.argtypes = [ctypes.c_char_p]
+        lib.ark_close.argtypes = [ctypes.c_int32]
+        lib.ark_dims_fd.restype = ctypes.c_int32
+        lib.ark_dims_fd.argtypes = [
+            ctypes.c_int32, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ark_load_processed_fd.restype = ctypes.c_int32
+        lib.ark_load_processed_fd.argtypes = [
+            ctypes.c_int32, ctypes.c_long, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -151,6 +165,34 @@ def ctc_beam_search_native(
     return tuple(int(x) for x in out_seq[:n]), float(out_score.value)
 
 
+# per-path cached fds for the fd/pread loader: each ark file is opened once
+# per process; pread has no seek state so threads share a single fd safely
+_ark_fds: dict = {}
+_ark_fd_lock = threading.Lock()
+
+
+def _ark_fd(lib, path: str) -> int:
+    fd = _ark_fds.get(path)
+    if fd is not None:
+        return fd
+    with _ark_fd_lock:
+        fd = _ark_fds.get(path)
+        if fd is None:
+            fd = int(lib.ark_open(path.encode()))
+            _ark_fds[path] = fd
+    return fd
+
+
+def close_ark_files() -> None:
+    """Close all cached ark fds (tests / long-lived servers)."""
+    lib = _load()
+    with _ark_fd_lock:
+        for fd in _ark_fds.values():
+            if lib is not None and fd >= 0:
+                lib.ark_close(fd)
+        _ark_fds.clear()
+
+
 def ark_load_processed_native(
     rxspec: str, left: int, right: int, skip: int, downsample: int,
 ) -> Optional[np.ndarray]:
@@ -159,7 +201,9 @@ def ark_load_processed_native(
     Returns None when the native library is unavailable or the entry is not
     an uncompressed float matrix — callers fall back to the python reader.
     The ctypes call releases the GIL, so a ThreadPoolExecutor over
-    utterances gets real parallelism (SpeechDataset.preload).
+    utterances gets real parallelism (SpeechDataset.preload).  The ark file
+    is opened once and reused via positional reads (pread), so the per-
+    utterance cost is two small preads + one payload pread — no fopen.
     """
     lib = _load()
     if lib is None:
@@ -169,10 +213,12 @@ def ark_load_processed_native(
         offset = int(off_s)
     else:
         path, offset = rxspec, 0
+    fd = _ark_fd(lib, path)
+    if fd < 0:
+        return None
     rows = ctypes.c_int32()
     cols = ctypes.c_int32()
-    rc = lib.ark_dims(path.encode(), offset, ctypes.byref(rows),
-                      ctypes.byref(cols))
+    rc = lib.ark_dims_fd(fd, offset, ctypes.byref(rows), ctypes.byref(cols))
     if rc != 0:
         return None
     skip = max(skip, 1)
@@ -181,8 +227,8 @@ def ark_load_processed_native(
     rows_out = rows_sk + (-rows_sk) % downsample
     cols_out = cols.value * (left + 1 + right)
     out = np.empty((max(rows_out, 1), cols_out), np.float32)
-    got = lib.ark_load_processed(
-        path.encode(), offset, left, right, skip, downsample,
+    got = lib.ark_load_processed_fd(
+        fd, offset, left, right, skip, downsample,
         _ptr(out, ctypes.c_float), out.shape[0],
     )
     if got < 0:

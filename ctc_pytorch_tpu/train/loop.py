@@ -92,6 +92,10 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
     def train_step(state: TrainState, feats, frac, labels, label_lens, mask,
                    rng):
         rng = jax.random.fold_in(rng, state.step)
+        if axis is not None:
+            # the key arrives replicated; decorrelate the per-shard dropout
+            # masks (otherwise rows i, i+B/n, ... share masks every step)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         (loss, (new_mstate, log_probs, input_sizes)), grads = (
             jax.value_and_grad(_forward, has_aux=True)(
                 state.params, state.model_state, feats, frac, labels,
@@ -146,7 +150,8 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
         eval_sm = shard_map(
             eval_step, mesh=mesh,
             in_specs=(repl, data, data, data, data, data),
-            out_specs=(repl, data, data, data),
+            # log_probs is time-major (T', B, C): batch is axis 1
+            out_specs=(repl, data, data, P(None, data_axis)),
             check_vma=False,
         )
         train_jit = jax.jit(train_sm, **donate)

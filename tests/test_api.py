@@ -77,6 +77,33 @@ def test_recognizer_mesh_matches_single_device(tmp_path):
     assert got == ref
 
 
+def test_streaming_recognizer_over_mesh(tmp_path):
+    """Streaming over a mesh Recognizer: the 1-utt window is replicated to
+    one row per device (regression: B=1 used to violate the shard_map
+    in_specs) and must transcribe identically to single-device streaming."""
+    from ctc_pytorch_tpu.api import StreamingRecognizer
+    from ctc_pytorch_tpu.parallel import make_mesh
+
+    fe = WaveFrontendSpec(
+        frontend=FrontendConfig(num_mel_bins=12), left_ctx=0, right_ctx=0,
+        n_skip_frame=1,
+    )
+    pkg = _mini_package(tmp_path, fe)
+    vocab = Vocab.from_units(["aa", "bb"])
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(9000) * 500).astype(np.float32)
+
+    outs = []
+    for mesh in (None, make_mesh(jax.devices()[:8])):
+        rec = Recognizer(pkg, vocab, frontend=fe, mesh=mesh)
+        sr = StreamingRecognizer(rec, window_seconds=4.0, hop_seconds=0.2,
+                                 lookahead_seconds=0.2)
+        for start in range(0, len(wav), 1600):
+            sr.feed(wav[start:start + 1600])
+        outs.append(sr.finish())
+    assert outs[0] == outs[1]
+
+
 def test_streaming_recognizer_matches_batch(tmp_path):
     """feed() in chunks + finish() == one-shot recognize on short audio."""
     from ctc_pytorch_tpu.api import StreamingRecognizer

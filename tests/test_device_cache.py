@@ -114,7 +114,17 @@ def test_prefetch_loader_equals_host_loader(tmp_path):
             np.testing.assert_array_equal(h.labels, np.asarray(p.labels))
             np.testing.assert_array_equal(h.input_lengths,
                                           np.asarray(p.input_lengths))
+            np.testing.assert_array_equal(h.input_frac, np.asarray(p.input_frac))
+            np.testing.assert_array_equal(h.example_mask,
+                                          np.asarray(p.example_mask))
             assert h.utts == p.utts
+            # EVERY tensor field must arrive as a committed device array —
+            # a host field would force a per-step reshard inside jit
+            import jax
+
+            for field in ("feats", "labels", "input_frac", "input_lengths",
+                          "label_lengths", "example_mask"):
+                assert isinstance(getattr(p, field), jax.Array), field
 
 
 def test_device_cache_under_mesh():

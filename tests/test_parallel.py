@@ -66,6 +66,65 @@ def test_data_parallel_step_matches_single_device():
         )
 
 
+def test_mesh_dropout_masks_decorrelated_across_shards():
+    """The replicated dropout key must be folded with the shard index.
+
+    Regression: without the axis_index fold-in, rows at the same local
+    index of every shard get IDENTICAL dropout masks.  With all batch rows
+    identical and heavy dropout, per-row outputs must now differ across
+    shards (and stay identical with dropout off)."""
+    cfg = _cfg()
+    cfg.rnn_hidden_size = 16
+    spec = ModelSpec.from_config(cfg, num_class=5)
+    feats, frac, labels, label_lens, mask = _batch(8, t=24)
+    feats[:] = feats[:1]  # every row identical
+    labels[:] = labels[:1]
+
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(3)
+
+    import dataclasses
+
+    for drop, expect_equal in [(0.8, False), (0.0, True)]:
+        spec_d = dataclasses.replace(spec, drop_out=drop)
+        state, tx = create_train_state(jax.random.PRNGKey(0), spec_d, 1e-3)
+        state = replicate(state, mesh)
+        train8, _ = make_step_fns(spec_d, tx, mesh)
+        sharded = shard_batch((feats, frac, labels, label_lens, mask), mesh)
+        _, _, greedy_idx, _ = train8(state, *sharded, replicate(key, mesh))
+        g = np.asarray(greedy_idx)
+        rows_equal = all(np.array_equal(g[0], g[i]) for i in range(1, 8))
+        assert rows_equal == expect_equal, (
+            f"drop={drop}: rows_equal={rows_equal}"
+        )
+
+
+def test_mesh_eval_log_probs_assembled_on_batch_axis():
+    """eval_jit's log_probs out-spec must shard axis 1 (batch), not time.
+
+    Regression: P('data') on the time-major (T', B, C) output stacked the
+    shards along time, giving (n*T', B/n, C) garbage."""
+    cfg = _cfg()
+    spec = ModelSpec.from_config(cfg, num_class=5)
+    arrays = _batch(8, t=16)
+
+    state1, tx = create_train_state(jax.random.PRNGKey(0), spec, 1e-3)
+    _, eval1 = make_step_fns(spec, tx)
+    loss1, _, sizes1, lp1 = eval1(state1, *map(jnp.asarray, arrays))
+
+    mesh = make_mesh()
+    state8, tx8 = create_train_state(jax.random.PRNGKey(0), spec, 1e-3)
+    state8 = replicate(state8, mesh)
+    _, eval8 = make_step_fns(spec, tx8, mesh)
+    loss8, _, sizes8, lp8 = eval8(state8, *shard_batch(arrays, mesh))
+
+    assert lp8.shape == lp1.shape  # (T', B, C)
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(lp1), np.asarray(lp8), rtol=1e-4, atol=1e-5
+    )
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
