@@ -52,9 +52,10 @@ def model_flops_per_utt(spec, t_in: int) -> float:
             f = (f + 2 * pf - kf) // sf + 1
             cin, cout = c.channel[i]
             fl += 2.0 * t * f * cout * cin * kt * kf
-            if c.pooling:
-                t = (t - c.pooling[i][0]) // c.pooling[i][0] + 1
-                f = (f - c.pooling[i][1]) // c.pooling[i][1] + 1
+            pk = c.pool_at(i)
+            if pk:
+                t = (t - pk[0]) // pk[0] + 1
+                f = (f - pk[1]) // pk[1] + 1
         feat = f * c.channel[-1][1]
     else:
         feat = spec.rnn_input_size

@@ -86,18 +86,14 @@ class Recognizer:
             # cross-shard collectives
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
+            from ctc_pytorch_tpu.parallel.mesh import shard_map_compat
 
             repl, data = P(), P("data")
-            self._forward = jax.jit(shard_map(
-                _forward, mesh=mesh,
+            self._forward = jax.jit(shard_map_compat(
+                _forward, mesh,
                 in_specs=(repl, repl, data, data),
                 # log_probs is time-major (T, B, C): batch is axis 1
                 out_specs=(P(None, "data"), data),
-                check_vma=False,
             ))
 
     def _load(self, item: AudioInput) -> np.ndarray:

@@ -36,9 +36,11 @@ def spec_from_torch_package(pkg: Dict) -> ModelSpec:
             kernel_size=[tuple(l[1]) for l in layers],
             stride=[tuple(l[2]) for l in layers],
             padding=[tuple(l[3]) for l in layers],
+            # pooling is PER LAYER in the reference tuples (l[4] may be
+            # None for some layers and a window for others)
             pooling=(
-                [tuple(l[4]) for l in layers] if layers[0][4] is not None
-                else None
+                [tuple(l[4]) if l[4] is not None else None for l in layers]
+                if any(l[4] is not None for l in layers) else None
             ),
             batch_norm=bool(pkg["cnn_param"].get("batch_norm", True)),
         )

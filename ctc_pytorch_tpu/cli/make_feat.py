@@ -115,7 +115,10 @@ def main(argv=None) -> None:
     p.add_argument("data_dir")
     p.add_argument("--num-mel-bins", type=int, default=80)
     p.add_argument("--window", default="hamming")
-    p.add_argument("--use-energy", action="store_true", default=True)
+    p.add_argument("--use-energy", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="append the log-energy channel (--no-use-energy "
+                        "to disable; fbank.conf default is on)")
     p.add_argument("--deltas", action="store_true",
                    help="append delta+ddelta (39-dim mfcc)")
     p.add_argument("--splits", nargs="+", default=["train", "dev", "test"])

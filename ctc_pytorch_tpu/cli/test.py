@@ -65,23 +65,35 @@ def evaluate(
 
         mesh = make_mesh()
 
+    # waveform-trained packages decode through the same step-fused frontend
+    # they were trained with (frac then carries valid SAMPLE counts)
+    from ctc_pytorch_tpu.frontend.e2e import frontend_fn_from_config
+
+    frontend_fn = frontend_fn_from_config(cfg)
+
     @jax.jit
     def forward(feats, frac):
+        if frontend_fn is not None:
+            feats, frac, _ = frontend_fn(feats, frac)
         # frac feeds the padding-masked BN planes when the checkpoint was
         # trained with spec.bn_mask_padding (a no-op otherwise)
         log_probs, _ = CTCModel.apply(spec, params, mstate, feats, frac=frac)
-        return log_probs
+        t_out = log_probs.shape[0]
+        return log_probs, (frac * t_out).astype(jnp.int32)
 
     total_cer = total_wer = 0
     num_sentences = 0
     start = time.time()
     n = 0
     for batch in loader:
-        log_probs = forward(
-            jnp.asarray(batch.feats), jnp.asarray(batch.input_frac)
+        frac_in = (
+            batch.input_lengths.astype(np.float32) if frontend_fn is not None
+            else batch.input_frac
         )
-        t_out = log_probs.shape[0]
-        input_sizes = (batch.input_frac * t_out).astype(np.int32)
+        log_probs, input_sizes = forward(
+            jnp.asarray(batch.feats), jnp.asarray(frac_in)
+        )
+        input_sizes = np.asarray(input_sizes)
         if on_device_beam:
             decoded = decoder.decode_on_device(
                 log_probs, input_sizes, max_len=cfg.beam_max_len, mesh=mesh

@@ -9,7 +9,6 @@ the plateau scheduler, writes the best package to
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
 
 from ctc_pytorch_tpu.config import load_config
 from ctc_pytorch_tpu.data import SpeechDataLoader, SpeechDataset
@@ -62,11 +61,16 @@ def main(argv=None):
 
         if len(jax.devices()) > 1:
             mesh = make_mesh()
+            n_dev = mesh.devices.size
+            if cfg.batch_size % n_dev != 0:
+                raise SystemExit(
+                    f"--data-parallel: batch_size={cfg.batch_size} must be "
+                    f"a multiple of the {n_dev}-device mesh (batches are "
+                    f"padded to exactly batch_size rows)"
+                )
+    use_device_cache = False
     if cfg.device_cache:
-        from ctc_pytorch_tpu.data.batching import (
-            DeviceCachedLoader,
-            PrefetchLoader,
-        )
+        from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
 
         # budget-check from host-side bucket shapes BEFORE uploading —
         # constructing DeviceCachedLoader device_puts the whole dataset
@@ -76,47 +80,31 @@ def main(argv=None):
         if est <= budget:
             train_loader = DeviceCachedLoader(train_loader, mesh=mesh)
             dev_loader = DeviceCachedLoader(dev_loader, mesh=mesh)
+            use_device_cache = True
+        elif est >= (1 << 62):  # num_buckets=0 sentinel: not cacheable
+            log(
+                "WARNING: device cache disabled — num_buckets=0 "
+                "(reference-exact per-batch shapes) is not cacheable; "
+                "falling back to host streaming"
+            )
         else:
-            if est >= (1 << 62):  # num_buckets=0 sentinel: not cacheable
-                log(
-                    "WARNING: device cache disabled — num_buckets=0 "
-                    "(reference-exact per-batch shapes) is not cacheable; "
-                    "falling back to async host prefetch"
-                )
-            else:
-                log(
-                    f"WARNING: device cache disabled — estimated "
-                    f"{est / (1 << 30):.2f} GB exceeds device_cache_max_gb="
-                    f"{cfg.device_cache_max_gb}; falling back to async host "
-                    f"prefetch (expect lower epoch rate; raise the budget "
-                    f"if HBM allows)"
-                )
-            if cfg.host_prefetch:
-                train_loader = PrefetchLoader(train_loader, mesh=mesh)
-                dev_loader = PrefetchLoader(dev_loader, mesh=mesh)
-    frontend_fn = None
-    if cfg.feature_type == "waveform":
-        # waveform-in end-to-end: the frontend runs inside the train step
-        import numpy as _np
+            log(
+                f"WARNING: device cache disabled — estimated "
+                f"{est / (1 << 30):.2f} GB exceeds device_cache_max_gb="
+                f"{cfg.device_cache_max_gb}; falling back to host streaming "
+                f"(expect lower epoch rate; raise the budget if HBM allows)"
+            )
+    if cfg.host_prefetch and not use_device_cache:
+        # async H2D overlap whenever batches stream from the host — whether
+        # the cache is off by config or auto-disabled by the budget
+        from ctc_pytorch_tpu.data.batching import PrefetchLoader
 
-        from ctc_pytorch_tpu.frontend.e2e import (
-            WaveFrontendSpec, build_frontend_fn,
-        )
-        from ctc_pytorch_tpu.frontend.features import FrontendConfig
+        train_loader = PrefetchLoader(train_loader, mesh=mesh)
+        dev_loader = PrefetchLoader(dev_loader, mesh=mesh)
+    # waveform-in end-to-end: the frontend runs inside the train step
+    from ctc_pytorch_tpu.frontend.e2e import frontend_fn_from_config
 
-        n_mels = max(cfg.feature_dim - 1, 1)
-        fe = WaveFrontendSpec(
-            feat_type="fbank",
-            frontend=FrontendConfig(num_mel_bins=n_mels),
-            left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
-            n_skip_frame=cfg.n_skip_frame,
-        )
-        cmvn = None
-        cmvn_file = Path(cfg.data_dir) / "global_fbank_cmvn.npz"
-        if cmvn_file.exists():
-            z = _np.load(cmvn_file)
-            cmvn = (z["mean"], z["inv_std"])
-        frontend_fn = build_frontend_fn(fe, cmvn)
+    frontend_fn = frontend_fn_from_config(cfg)
 
     trainer = Trainer(cfg, spec, mesh=mesh, frontend_fn=frontend_fn)
     if args.resume:

@@ -65,13 +65,22 @@ class CNNConfig:
     batch_norm: bool = True
     activation_function: str = "relu"
 
+    def pool_at(self, i: int) -> Optional[Pair]:
+        """Layer ``i``'s pooling window, honouring per-layer ``None`` entries
+        (the reference's layer tuples carry pooling per layer,
+        ``model_ctc.py:46-57``)."""
+        if not self.pooling:
+            return None
+        return self.pooling[i]
+
     def time_downsample(self) -> int:
         """Total stride along the time axis through the conv (+pool) stack."""
         ds = 1
         for i in range(self.layers):
             ds *= self.stride[i][0]
-            if self.pooling:
-                ds *= self.pooling[i][0]
+            pk = self.pool_at(i)
+            if pk:
+                ds *= pk[0]
         return ds
 
     def output_time_len(self, t: int) -> int:
@@ -79,8 +88,9 @@ class CNNConfig:
         for i in range(self.layers):
             k, s, p = self.kernel_size[i][0], self.stride[i][0], self.padding[i][0]
             t = (t + 2 * p - k) // s + 1
-            if self.pooling:
-                t = (t - self.pooling[i][0]) // self.pooling[i][0] + 1
+            pk = self.pool_at(i)
+            if pk:
+                t = (t - pk[0]) // pk[0] + 1
         return t
 
     def output_freq_len(self, f: int) -> int:
@@ -88,8 +98,9 @@ class CNNConfig:
         for i in range(self.layers):
             k, s, p = self.kernel_size[i][1], self.stride[i][1], self.padding[i][1]
             f = (f + 2 * p - k) // s + 1
-            if self.pooling:
-                f = (f - self.pooling[i][1]) // self.pooling[i][1] + 1
+            pk = self.pool_at(i)
+            if pk:
+                f = (f - pk[1]) // pk[1] + 1
         return f
 
 

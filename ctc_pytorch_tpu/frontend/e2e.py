@@ -101,3 +101,30 @@ def build_frontend_fn(
         )
 
     return fn
+
+
+def frontend_fn_from_config(cfg) -> Optional[Callable]:
+    """Step-fused frontend for ``feature_type: waveform`` configs, loading
+    the training-time CMVN stats when stage 1 wrote them.  Returns None for
+    offline-feature configs.  Shared by cli.train (stage 2) and cli.test
+    (stage 4) so a waveform-trained package decodes with the exact frontend
+    it was trained with."""
+    if cfg.feature_type != "waveform":
+        return None
+    from pathlib import Path
+
+    import numpy as np
+
+    n_mels = max(cfg.feature_dim - 1, 1)
+    fe = WaveFrontendSpec(
+        feat_type="fbank",
+        frontend=FrontendConfig(num_mel_bins=n_mels),
+        left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
+        n_skip_frame=cfg.n_skip_frame,
+    )
+    cmvn = None
+    cmvn_file = Path(cfg.data_dir) / "global_fbank_cmvn.npz"
+    if cmvn_file.exists():
+        z = np.load(cmvn_file)
+        cmvn = (z["mean"], z["inv_std"])
+    return build_frontend_fn(fe, cmvn)

@@ -137,8 +137,8 @@ def cnn_stack_apply(
             out, ns["bn"] = _bn2d(p["bn"], s["bn"], out, train,
                                   axis_name=axis_name)
         out = act(out)
-        if cnn.pooling:
-            pk = cnn.pooling[i]
+        pk = cnn.pool_at(i)
+        if pk:
             out = jax.lax.reduce_window(
                 out, -jnp.inf, jax.lax.max,
                 window_dimensions=(1, pk[0], pk[1], 1),

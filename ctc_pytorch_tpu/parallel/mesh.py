@@ -52,3 +52,18 @@ def shard_batch(arrays: tuple, mesh: Mesh, axis: str = "data"):
 def pad_batch_to_devices(n: int, n_devices: int) -> int:
     """Smallest multiple of n_devices >= n (batch must divide evenly)."""
     return ((n + n_devices - 1) // n_devices) * n_devices
+
+
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """``jax.shard_map`` across jax versions.
+
+    Newer jax exposes ``jax.shard_map(..., check_vma=...)``; the older
+    experimental API only accepts ``check_rep``.  Both checks are disabled
+    (our steps use explicit psums, not replication inference)."""
+    try:
+        from jax import shard_map as _sm
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        kw = {"check_rep": False}
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)

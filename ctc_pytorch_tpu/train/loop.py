@@ -32,7 +32,6 @@ from ctc_pytorch_tpu.decode.greedy import greedy_collapse
 from ctc_pytorch_tpu.models import CTCModel
 from ctc_pytorch_tpu.models.ctc_model import ModelSpec
 from ctc_pytorch_tpu.ops import ctc_loss
-from ctc_pytorch_tpu.ops.editdistance import padded_edit_distance
 from ctc_pytorch_tpu.train import checkpoint as ckpt
 from ctc_pytorch_tpu.train.metrics_log import MetricsLogger
 from ctc_pytorch_tpu.train.scheduler import PlateauScheduler
@@ -135,24 +134,19 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
         # the explicit psums above plus the sync-BN psums inside the model.
         from jax.sharding import PartitionSpec as P
 
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
+        from ctc_pytorch_tpu.parallel.mesh import shard_map_compat
 
         repl, data = P(), P(data_axis)
-        train_sm = shard_map(
-            train_step, mesh=mesh,
+        train_sm = shard_map_compat(
+            train_step, mesh,
             in_specs=(repl, data, data, data, data, data, repl),
             out_specs=(repl, repl, data, data),
-            check_vma=False,
         )
-        eval_sm = shard_map(
-            eval_step, mesh=mesh,
+        eval_sm = shard_map_compat(
+            eval_step, mesh,
             in_specs=(repl, data, data, data, data, data),
             # log_probs is time-major (T', B, C): batch is axis 1
             out_specs=(repl, data, data, P(None, data_axis)),
-            check_vma=False,
         )
         train_jit = jax.jit(train_sm, **donate)
         eval_jit = jax.jit(eval_sm)
@@ -180,24 +174,6 @@ def _device_token_errors(greedy_idx, input_sizes, labels, label_lens, mask):
     return errs, toks
 
 
-def _batch_token_errors(greedy_idx, input_sizes, labels, label_lens, mask,
-                        blank=0):
-    """Greedy collapse on device, edit distance on host (compute_wer)."""
-    tokens, lens = greedy_collapse(greedy_idx, jnp.asarray(input_sizes), blank)
-    tokens = np.asarray(tokens)
-    lens = np.asarray(lens)
-    labels = np.asarray(labels)
-    label_lens = np.asarray(label_lens)
-    keep = np.asarray(mask) > 0
-    if tokens.shape[1] == 0:
-        dists = np.asarray(label_lens)
-    else:
-        dists = padded_edit_distance(labels, label_lens, tokens, lens)
-    errs = int(np.sum(dists[keep]))
-    toks = int(np.sum(label_lens[keep]))
-    return errs, toks
-
-
 def run_epoch(
     epoch_id: int,
     step_fns,
@@ -216,6 +192,7 @@ def run_epoch(
     train_jit, eval_jit = step_fns
     device_losses = []  # defer host syncs: fetch only at print/epoch points
     cur_start = 0
+    fetched_sum = 0.0  # running sum of already-fetched losses
     total_errs = jnp.zeros((), jnp.int32)  # device accumulators
     total_tokens = jnp.zeros((), jnp.int32)
     n_batches = 0
@@ -241,23 +218,21 @@ def run_epoch(
         n_batches += 1
         if compute_wer:
             errs, toks = _device_token_errors(
-                greedy_idx, input_sizes, jnp.asarray(batch.labels),
-                jnp.asarray(batch.label_lengths),
-                jnp.asarray(batch.example_mask),
+                greedy_idx, input_sizes, labels, label_lens, mask,
             )
             total_errs = total_errs + errs
             total_tokens = total_tokens + toks
         if training and (i + 1) % print_every == 0:
             vals = [float(l) for l in device_losses[cur_start:]]
-            total_so_far = sum(float(l) for l in device_losses[:cur_start]) + sum(vals)
+            fetched_sum += sum(vals)  # each device scalar fetched ONCE
             log(
                 f"Epoch = {epoch_id}, step = {i + 1}, "
                 f"cur_loss = {sum(vals) / max(len(vals), 1):.4f}, "
-                f"total_loss = {total_so_far / (i + 1):.4f}, "
+                f"total_loss = {fetched_sum / (i + 1):.4f}, "
                 f"total_wer = {float(total_errs) / (float(total_tokens) + 1e-9):.4f}"
             )
             cur_start = len(device_losses)
-    total_loss = sum(float(l) for l in device_losses)
+    total_loss = fetched_sum + sum(float(l) for l in device_losses[cur_start:])
     avg_loss = total_loss / max(n_batches, 1)
     acc = 1.0 - float(total_errs) / (float(total_tokens) + 1e-9)
     tag = "Train" if training else "Valid"

@@ -104,3 +104,32 @@ def test_cnn_shape_arithmetic():
     assert cnn.output_freq_len(243) == 61  # 243 -> 122 -> 61
     assert cnn.output_time_len(100) == 50
     assert cnn.time_downsample() == 2
+
+
+def test_cnn_per_layer_pooling():
+    """Reference layer tuples carry pooling PER LAYER (l[4] may be None for
+    some layers only, model_ctc.py:46-57); the arithmetic and the conv stack
+    must honour mixed None/window entries."""
+    import jax
+    import numpy as np
+
+    from ctc_pytorch_tpu.models.cnn import cnn_stack_apply, cnn_stack_init
+
+    cnn = CNNConfig(
+        add_cnn=True,
+        layers=2,
+        channel=[(1, 4), (4, 4)],
+        kernel_size=[(3, 3), (3, 3)],
+        stride=[(1, 1), (1, 1)],
+        padding=[(1, 1), (1, 1)],
+        pooling=[None, (2, 2)],  # layer 0 unpooled, layer 1 pools 2x2
+    )
+    assert cnn.pool_at(0) is None and cnn.pool_at(1) == (2, 2)
+    assert cnn.time_downsample() == 2
+    assert cnn.output_time_len(32) == 16
+    assert cnn.output_freq_len(16) == 8
+    params, state = cnn_stack_init(jax.random.PRNGKey(0), cnn)
+    x = np.random.RandomState(0).randn(2, 1, 32, 16).astype(np.float32)
+    out, _ = cnn_stack_apply(params, state, x, cnn, train=False)
+    # (B, T', F', C): time/freq match the arithmetic above
+    assert out.shape[1] == 16 and out.shape[2] == 8
