@@ -282,30 +282,52 @@ class SpeechDataLoader:
     def __iter__(self) -> Iterator[Batch]:
         """Assemble batches one step ahead on a background thread (the
         reference uses torch DataLoader worker processes for the same
-        overlap, ``timit/steps/train_ctc.py:91-92``)."""
+        overlap, ``timit/steps/train_ctc.py:91-92``).
+
+        Early exit safe: a consumer that stops mid-epoch (``break``, e.g.
+        ``evaluate(max_batches=N)``) closes the generator, which signals the
+        producer to stop instead of leaving it blocked on ``q.put`` forever
+        (one leaked thread + pinned batches per aborted iteration)."""
         import queue
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for indices, t_pad, l_pad in self.batcher.epoch_batches(
                     self.epoch
                 ):
-                    q.put(self._make_batch(indices, t_pad, l_pad))
+                    batch = self._make_batch(indices, t_pad, l_pad)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            thread.join()
 
 
 class PrefetchLoader:

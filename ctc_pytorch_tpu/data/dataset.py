@@ -161,15 +161,33 @@ class SpeechDataset:
             self._cache[idx] = out
         return out
 
+    def _raw_rows(self, idx: int) -> int:
+        """Raw row/sample count of one item from the file HEADER when the
+        format allows (BFM/BDM/CM ark matrices, SPHERE/WAV) — a length scan
+        then costs a few bytes per item instead of decoding the corpus
+        twice (once for bucketing, once for preload)."""
+        _, rx, _ = self.items[idx]
+        if self.feature_type == "waveform":
+            from ctc_pytorch_tpu.data.prep.sphere import audio_num_samples
+
+            n = audio_num_samples(rx)
+            if n is not None:
+                return n
+        else:
+            rows = kaldi_io.mat_rows(rx)
+            if rows is not None:
+                return rows
+        return self.raw_feature(idx).shape[0]
+
     def lengths(self) -> np.ndarray:
-        """Processed frame count per item (cheap: derived from raw rows)."""
+        """Processed frame count per item (cheap: header peek, no payload)."""
         if self._lengths is None:
             lens = []
             for i in range(len(self.items)):
                 if self._cache is not None and self._cache[i] is not None:
                     lens.append(self._cache[i][0].shape[0])
                 else:
-                    t = self.raw_feature(i).shape[0]
+                    t = self._raw_rows(i)
                     if self.feature_type != "waveform":
                         # sample counts stay raw; frame transforms happen
                         # on-device for the waveform path

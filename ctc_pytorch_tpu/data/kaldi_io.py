@@ -46,6 +46,36 @@ def load_mat(rxspec: str) -> np.ndarray:
         return _read_binary_matrix(f)
 
 
+def mat_rows(rxspec: str) -> int | None:
+    """Row count of the matrix at ``ark_path:offset`` from its header only
+    (no payload read).  None when the entry isn't a plain/compressed binary
+    matrix — callers fall back to a full load."""
+    if ":" in rxspec:
+        path, offset = rxspec.rsplit(":", 1)
+        offset = int(offset)
+    else:
+        path, offset = rxspec, 0
+    try:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            _expect(f, b"\x00B")
+            token = b""
+            while len(token) < 8:
+                ch = f.read(1)
+                token += ch
+                if ch == b" ":
+                    break
+            token = token.strip()
+            if token in (b"FM", b"DM"):
+                return _read_int32(f)
+            if token == b"CM":
+                f.read(8)  # min_value, range
+                return struct.unpack("<ii", f.read(8))[0]
+    except (OSError, ValueError):
+        return None
+    return None
+
+
 def read_ark_entry(f) -> Tuple[str, np.ndarray]:
     """Read one ``utt <matrix>`` entry from an open binary ark stream."""
     utt = b""

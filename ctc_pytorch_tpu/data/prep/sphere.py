@@ -85,6 +85,32 @@ def read_audio(path: str | Path, normalize: bool = False) -> np.ndarray:
     return wav
 
 
+def audio_num_samples(path: str | Path) -> int | None:
+    """Sample count from the SPHERE/WAV header only (no payload decode);
+    None when the header doesn't carry it — callers fall back to a full
+    read.  Used by dataset length scans so bucketing doesn't decode the
+    whole corpus twice."""
+    p = Path(path)
+    try:
+        with p.open("rb") as f:
+            head = f.read(8)
+        if head.startswith(b"NIST_1A"):
+            with p.open("rb") as f:
+                header_size = int(f.read(16)[8:16].split()[0])
+                f.seek(0)
+                header = f.read(header_size).decode("ascii", errors="replace")
+            for line in header.splitlines():
+                parts = line.split()
+                if (len(parts) >= 3 and parts[0] == "sample_count"
+                        and parts[1].startswith("-")):
+                    return int(parts[2])
+            return None
+        with wave.open(str(p), "rb") as w:
+            return w.getnframes()  # mono-mixdown keeps the frame count
+    except (OSError, ValueError, wave.Error, EOFError):
+        return None
+
+
 def write_wav(path: str | Path, samples: np.ndarray, rate: int = 16000) -> None:
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)

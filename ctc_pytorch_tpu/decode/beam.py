@@ -10,8 +10,8 @@ Re-derivation of the reference's per-utterance dict-based search
 - per frame, the top ``beam_width`` prefixes by ``prTotal`` are expanded:
   each survives as itself (blank path ``prTotal + log p(blank)``, repeat path
   ``prNonBlank + log p(y[-1])``) and extends with every non-blank class;
-- extending with ``k == y[-1]`` uses ``prBlank`` unless the **previous
-  frame's** blank probability was < 0.9, in which case ``prTotal``
+- extending with ``k == y[-1]`` uses ``prBlank`` when the **previous
+  frame's** blank probability was < 0.9, and ``prTotal`` otherwise
   (``BeamSearch.py:63-66`` — note ``mat[t-1]``, the raw frame index);
 - the LM adds ``lm_alpha * ln p(c2 | c1)`` on every extension, with empty
   history mapping to <s> (``BeamSearch.py:56-60``, ``NgramLM.py:70-73``);
@@ -23,6 +23,13 @@ pure python per class); the LM is a dense ``(V+1, V+1)`` table so lookup is
 one row gather.  Prefixes stay in a hash map exactly like the reference —
 this path is the *parity* decoder.  ``batched_beam_search`` in
 ``ctc_pytorch_tpu.decode.beam_device`` is the fixed-width on-device version.
+
+String format quirk, preserved deliberately: beam hypotheses are plain
+``' '.join(units)`` with NO leading space (``BeamSearch.py:151``), while the
+greedy path's ``_process_string`` prefixes every unit with a space
+(``ctcDecoder.py:86-92``).  The reference therefore scores beam CER one
+character apart from greedy CER on identical hypotheses; reproducing the
+join exactly is what keeps our beam strings bit-equal to the reference's.
 """
 
 from __future__ import annotations

@@ -129,7 +129,6 @@ def _beam_step(state, inputs, *, k_width, num_class, max_len, blank,
     # ---- blank-skip / inactive frame keeps the old state ------------------
     skip = (1.0 - probs_t[blank] < 0.1) | ~t_active
     out = tuple(
-        jnp.where(skip, old, new) if old.ndim == 1 else
         jnp.where(skip, old, new)
         for old, new in [
             (prefixes, new_prefixes), (lengths, new_lengths),

@@ -161,23 +161,23 @@ def train_bigram_lm(
 
     # bigram: Witten-Bell interpolation
     # p(b|a) = c(ab)/(c(a)+T(a)) + T(a)/(c(a)+T(a)) * p(b)
+    ctx_count = Counter()  # one pass: c(a) = sum_b c(ab)
+    for (a, _), c in bi.items():
+        ctx_count[a] += c
     bi_prob: Dict[Tuple[str, str], float] = {}
     backoff: Dict[str, float] = {}
     for a in vocab:
         if a == end:
             continue
-        ca = sum(c for (x, _), c in bi.items() if x == a)
+        ca = ctx_count[a]
         ta = len(followers[a])
         if ca == 0:
             backoff[a] = 1.0
             continue
         lam = ta / (ca + ta)  # mass reserved for unseen followers
-        for b in vocab:
-            if b == start:
-                continue
-            cab = bi.get((a, b), 0)
-            if cab > 0:
-                bi_prob[(a, b)] = cab / (ca + ta) + lam * uni_prob[b]
+        # cab > 0 exactly for b in followers[a]; <s> is never a follower
+        for b in sorted(followers[a]):
+            bi_prob[(a, b)] = bi[(a, b)] / (ca + ta) + lam * uni_prob[b]
         # backoff weight: remaining mass / remaining unigram mass
         seen_mass = sum(bi_prob[(a, b)] for b in followers[a] if (a, b) in bi_prob)
         unseen_uni = sum(

@@ -37,6 +37,10 @@ class WaveFrontendSpec:
     left_ctx: int = 0
     right_ctx: int = 2
     n_skip_frame: int = 2
+    # zero-pad T (and round valid frame counts up) to a multiple of this,
+    # mirroring the offline path's pad-to-downsample
+    # (data/dataset.py process_feature; ref data_loader.py:106-110)
+    n_downsample: int = 1
 
     def feature_dim(self) -> int:
         base = {
@@ -75,12 +79,22 @@ def waveform_frontend(
         feats = apply_cmvn(feats, cmvn[0], cmvn[1])
     feats = make_context(feats, spec.left_ctx, spec.right_ctx)
     feats = skip_frames(feats, spec.n_skip_frame)
+    ds = max(spec.n_downsample, 1)
+    if ds > 1 and feats.shape[-2] % ds:
+        pad = ds - feats.shape[-2] % ds
+        widths = [(0, 0)] * feats.ndim
+        widths[-2] = (0, pad)
+        feats = jnp.pad(feats, widths)
 
     frame_len = jnp.maximum(
         0, 1 + (wav_lengths - cfg.frame_length) // cfg.frame_shift
     )
     if spec.n_skip_frame > 1:
         frame_len = -(-frame_len // spec.n_skip_frame)
+    if ds > 1:
+        # offline path: each item's rows are zero-padded to a multiple of
+        # n_downsample and the padded count is the item's length
+        frame_len = (-(-frame_len // ds)) * ds
     t_out = feats.shape[-2]
     frame_len = jnp.minimum(frame_len, t_out)
     frac = frame_len.astype(jnp.float32) / t_out
@@ -120,7 +134,7 @@ def frontend_fn_from_config(cfg) -> Optional[Callable]:
         feat_type="fbank",
         frontend=FrontendConfig(num_mel_bins=n_mels),
         left_ctx=cfg.left_ctx, right_ctx=cfg.right_ctx,
-        n_skip_frame=cfg.n_skip_frame,
+        n_skip_frame=cfg.n_skip_frame, n_downsample=cfg.n_downsample,
     )
     cmvn = None
     cmvn_file = Path(cfg.data_dir) / "global_fbank_cmvn.npz"

@@ -296,7 +296,8 @@ def ctc_loss(
     if reduction == "sum":
         return jnp.sum(neg_ll)
     if reduction == "mean":
-        return jnp.sum(neg_ll / jnp.maximum(label_lengths, 1))
+        # torch: divide each loss by its target length, then MEAN over batch
+        return jnp.mean(neg_ll / jnp.maximum(label_lengths, 1))
     if reduction == "sum_over_batch":
         return jnp.sum(neg_ll) / neg_ll.shape[0]
     raise ValueError(f"unknown reduction {reduction!r}")

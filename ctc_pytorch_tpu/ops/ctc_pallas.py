@@ -43,8 +43,19 @@ from ctc_pytorch_tpu.ops.lstm_pallas import VMEM_BUDGET
 def _lse3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.maximum(m, NEG_INF / 2)
-    return m_safe + jnp.log(
-        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    # when all three args sit at ~NEG_INF the sum underflows to exactly 0
+    # and log(0) = -inf would leak into the DP table — and through
+    # -exp(gamma - ll) into Inf/NaN gradients for any utterance whose
+    # labels cannot be aligned in its frames.  Pin those cells to exactly
+    # NEG_INF: unreachable mass stays ~25 orders below the gmax_safe floor,
+    # so the gradient's exp(gamma - gmax_safe) underflows to a true 0 and
+    # infeasible utterances get finite huge loss + ZERO gradients, like the
+    # lax.scan path.  (A log-floor instead would lift dead cells to the
+    # gmax_safe scale and produce garbage gradients.)
+    return jnp.where(
+        m <= NEG_INF / 2, NEG_INF,
+        m_safe + jnp.log(jnp.maximum(s, 1e-37)),
     )
 
 
@@ -272,7 +283,8 @@ def ctc_loss_pallas(
     if reduction == "sum":
         return jnp.sum(neg_ll)
     if reduction == "mean":
-        return jnp.sum(neg_ll / jnp.maximum(label_lengths, 1))
+        # torch: divide each loss by its target length, then MEAN over batch
+        return jnp.mean(neg_ll / jnp.maximum(label_lengths, 1))
     if reduction == "sum_over_batch":
         return jnp.sum(neg_ll) / neg_ll.shape[0]
     raise ValueError(f"unknown reduction {reduction!r}")

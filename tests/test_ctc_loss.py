@@ -111,6 +111,29 @@ def test_sum_over_batch_reduction():
     np.testing.assert_allclose(float(sb), float(s) / log_probs.shape[1], rtol=1e-6)
 
 
+def test_mean_reduction_matches_torch():
+    """torch 'mean': divide each loss by its target length, then mean over
+    the batch (regression: ours returned the SUM of length-normalised
+    losses — B x torch's value)."""
+    log_probs, labels, input_lens, label_lens = _random_case(11)
+    torch_loss = torch.nn.CTCLoss(blank=0, reduction="mean")(
+        torch.from_numpy(np.asarray(log_probs)),
+        torch.from_numpy(np.asarray(labels)),
+        torch.from_numpy(np.asarray(input_lens)),
+        torch.from_numpy(np.asarray(label_lens)),
+    )
+    args = (
+        jnp.asarray(log_probs), jnp.asarray(labels),
+        jnp.asarray(input_lens), jnp.asarray(label_lens),
+    )
+    ours = ctc_loss(*args, reduction="mean")
+    np.testing.assert_allclose(float(ours), float(torch_loss), rtol=1e-5)
+    from ctc_pytorch_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+    ours_p = ctc_loss_pallas(*args, reduction="mean", interpret=True)
+    np.testing.assert_allclose(float(ours_p), float(torch_loss), rtol=1e-5)
+
+
 def test_empty_label():
     # all-blank path: loss = -sum_t log p(blank)
     t, b, c = 6, 1, 4

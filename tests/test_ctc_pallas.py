@@ -41,6 +41,38 @@ def test_pallas_grad_matches_scan():
     np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_pallas_infeasible_utterance_keeps_grads_finite():
+    """An utterance whose labels cannot align in its frames (input shorter
+    than the label sequence) must behave like the scan path: huge finite
+    loss, ZERO gradient for that row, other rows unaffected.
+
+    Regression: _lse3 underflowed to log(0) = -inf for unreachable DP
+    cells, and -exp(gamma - (-inf)) turned the whole gradient Inf/NaN."""
+    t, b, c, lmax = 10, 3, 6, 8
+    rng = np.random.RandomState(3)
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(t, b, c), jnp.float32), -1)
+    labels = jnp.asarray(rng.randint(1, c, size=(b, lmax)), jnp.int32)
+    il = jnp.asarray([t, 3, t])  # row 1: 3 frames for 8 labels — infeasible
+    ll = jnp.asarray([4, lmax, 4])
+
+    loss_pal = ctc_loss_pallas(lp, labels, il, ll, reduction="none",
+                               interpret=True)
+    assert np.isfinite(np.asarray(loss_pal)).all()
+    assert float(loss_pal[1]) > 1e20  # impossible alignment: huge loss
+
+    f_pal = lambda x: ctc_loss_pallas(x, labels, il, ll, reduction="sum",
+                                      interpret=True)
+    f_ref = lambda x: ctc_loss(x, labels, il, ll, reduction="sum")
+    g_pal = np.asarray(jax.grad(f_pal)(lp))
+    g_ref = np.asarray(jax.grad(f_ref)(lp))
+    assert np.isfinite(g_pal).all()
+    np.testing.assert_array_equal(g_pal[:, 1, :], 0.0)  # dead row: zero grad
+    np.testing.assert_allclose(g_pal[:, 0, :], g_ref[:, 0, :],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(g_pal[:, 2, :], g_ref[:, 2, :],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_vmem_overflow_falls_back_to_scan(monkeypatch):
     """Shapes too big for VMEM must silently take the scan path."""
     import ctc_pytorch_tpu.ops.ctc_pallas as cp

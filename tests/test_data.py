@@ -45,6 +45,57 @@ def test_ark_roundtrip(tmp_path):
         np.testing.assert_array_equal(mat, mats[utt])
 
 
+def test_mat_rows_header_peek(tmp_path):
+    """mat_rows reads only the ark header; must agree with the full load
+    (lengths() uses it so bucketing doesn't decode the corpus twice)."""
+    from ctc_pytorch_tpu.data.kaldi_io import mat_rows
+
+    mats = _write_corpus(tmp_path)
+    for utt, rx in read_scp(tmp_path / "feats.scp"):
+        assert mat_rows(rx) == mats[utt].shape[0]
+    bad = tmp_path / "bad.ark"
+    bad.write_bytes(b"not an ark")
+    assert mat_rows(f"{bad}:0") is None
+
+
+def test_audio_num_samples_header_peek(tmp_path):
+    from ctc_pytorch_tpu.data.prep.sphere import (
+        audio_num_samples, read_audio, write_wav,
+    )
+
+    s = (np.random.RandomState(0).randn(4321) * 500).astype(np.int16)
+    write_wav(tmp_path / "a.wav", s)
+    assert audio_num_samples(tmp_path / "a.wav") == 4321
+    assert len(read_audio(tmp_path / "a.wav")) == 4321
+    assert audio_num_samples(tmp_path / "missing.wav") is None
+
+
+def test_loader_early_break_stops_producer(tmp_path):
+    """Breaking out of a loader iteration mid-epoch must stop the producer
+    thread (regression: it stayed blocked on q.put forever, leaking one
+    thread + pinned batches per aborted iteration)."""
+    import threading
+    import time
+
+    _write_corpus(tmp_path, n=10)
+    cfg = Config()
+    cfg.left_ctx = cfg.right_ctx = 0
+    cfg.n_skip_frame = cfg.n_downsample = 1
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, str(tmp_path / "feats.scp"),
+                       str(tmp_path / "phn_text"), cfg)
+    loader = SpeechDataLoader(ds, 2, shuffle=False, num_buckets=1)
+    before = threading.active_count()
+    for _ in range(3):
+        for i, b in enumerate(loader):
+            if i == 0:
+                break  # early exit: generator closed at the yield
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_text_ark(tmp_path):
     p = tmp_path / "feats.txt"
     p.write_text(

@@ -54,6 +54,41 @@ def test_waveform_frontend_matches_offline_pipeline():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_waveform_frontend_downsample_padding_matches_offline():
+    """With n_downsample > 1 the fused frontend must mirror the offline
+    path: T zero-padded to a multiple of n_downsample and each utterance's
+    valid frame count rounded UP to a multiple too (dataset.process_feature;
+    ref data_loader.py:106-110).  Regression: the spec silently dropped
+    cfg.n_downsample."""
+    fe = WaveFrontendSpec(
+        feat_type="fbank",
+        frontend=FrontendConfig(num_mel_bins=12, use_energy=True),
+        left_ctx=0, right_ctx=1, n_skip_frame=2, n_downsample=4,
+    )
+    rng = np.random.RandomState(1)
+    s_max = 4800
+    wavs = np.zeros((2, s_max), np.float32)
+    lens = np.array([4800, 3000])
+    for i, l in enumerate(lens):
+        wavs[i, :l] = rng.randn(l) * 500
+    feats, frac, frame_len = waveform_frontend(
+        fe, jnp.asarray(wavs), jnp.asarray(lens)
+    )
+    assert feats.shape[-2] % 4 == 0
+    fl = np.asarray(frame_len)
+    assert (fl % 4 == 0).all()
+    for i, l in enumerate(lens):
+        # offline per-utterance count: frames -> skip -> pad to multiple
+        n_frames = max(0, 1 + (l - fe.frontend.frame_length)
+                       // fe.frontend.frame_shift)
+        n_sk = -(-n_frames // 2)
+        n_pad = n_sk + (-n_sk) % 4
+        assert fl[i] == min(n_pad, feats.shape[-2])
+    np.testing.assert_allclose(
+        np.asarray(frac), fl.astype(np.float32) / feats.shape[-2]
+    )
+
+
 @pytest.mark.slow
 def test_waveform_training_reduces_loss():
     fe = _spec()
