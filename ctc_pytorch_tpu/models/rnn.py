@@ -303,7 +303,10 @@ def rnn_layer_apply(
                 out = gru_bidir_pallas(x, w_ih, w_hh,
                                        compute_dtype=compute_dtype)
         elif train:
-            from ctc_pytorch_tpu.ops.lstm_pallas_train import lstm_bidir_train
+            from ctc_pytorch_tpu.ops.lstm_pallas_train import (
+                lstm_bidir_train,
+                train_v1_ok,
+            )
             from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import (
                 lstm_bidir_train_v2,
                 train_v2_ok,
@@ -316,9 +319,16 @@ def rnn_layer_apply(
                 out = lstm_bidir_train_v2(
                     x, w_ih, w_hh, compute_dtype=compute_dtype
                 )
-            else:
+            elif train_v1_ok(x.shape[1], hidden_size, compute_dtype):
                 out = lstm_bidir_train(
                     x, w_ih, w_hh, compute_dtype=compute_dtype
+                )
+            else:
+                # neither kernel's backward fits VMEM (e.g. very large H):
+                # same math via the scan path
+                out = _scan_bidir_fused(
+                    params, x, cell, hidden_size, compute_dtype,
+                    lengths=lengths,
                 )
         else:
             from ctc_pytorch_tpu.ops.lstm_pallas import lstm_bidir_pallas

@@ -31,7 +31,10 @@ void batch_edit_distance(const int32_t* refs, const int32_t* ref_lens,
   for (int32_t i = 0; i < b; ++i) {
     const int32_t* ref = refs + (int64_t)i * rl;
     const int32_t* hyp = hyps + (int64_t)i * hl;
-    int32_t n = ref_lens[i], m = hyp_lens[i];
+    // clamp to the padded widths like the numpy twin (a caller passing a
+    // length beyond the padding must not read/write out of bounds)
+    int32_t n = std::min(std::max(ref_lens[i], 0), rl);
+    int32_t m = std::min(std::max(hyp_lens[i], 0), hl);
     if (n == 0) { out[i] = m; continue; }
     if (m == 0) { out[i] = n; continue; }
     for (int32_t j = 0; j <= m; ++j) prev[j] = j;
@@ -95,8 +98,13 @@ int32_t ctc_beam_search(const float* probs, int32_t t_len, int32_t c,
   beams.push_back({0, 0.0, kLogZero});
 
   std::vector<Entry> best;
-  std::unordered_map<int64_t, int32_t> ext_index;   // (node, k) -> curr idx
-  std::unordered_map<int32_t, int32_t> copy_index;  // node -> curr idx
+  // (parent node, label) -> child node, PERSISTENT across frames: node ids
+  // are canonical per label sequence, so a prefix that was pruned and later
+  // re-created folds into the same node — the reference's dict keyed on the
+  // full label tuple (BeamSearch.py addLabelling/log_add).  A per-frame map
+  // here would split probability mass between duplicate nodes.
+  std::unordered_map<int64_t, int32_t> child_id;
+  std::unordered_map<int32_t, int32_t> frame_idx;  // node -> curr idx
   std::vector<Entry> curr;
   const int32_t sent = lm_dim - 1;  // sentinel row <s> / col </s>
 
@@ -113,25 +121,20 @@ int32_t ctc_beam_search(const float* probs, int32_t t_len, int32_t c,
     if ((int32_t)best.size() > beam_width) best.resize(beam_width);
 
     curr.clear();
-    ext_index.clear();
-    copy_index.clear();
+    frame_idx.clear();
 
     bool prev_blank_ge =
         (t == 0) ? true
                  : (probs[(int64_t)(t - 1) * c + blank] >= 0.9f);
     double lp_blank = std::log(std::max((double)p[blank], 1e-300));
 
-    // PASS 1 — copy paths.  Copy entries keep their (stable) node ids, and
-    // register themselves under (parent, label) so pass 2's extensions that
-    // produce the same label tuple fold into them — the reference's
-    // dict-keyed-on-tuple merge (BeamSearch.py addLabelling/log_add).
+    // PASS 1 — copy paths.  Node ids are canonical (one per label tuple),
+    // so registering each survivor under its node id lets pass 2's
+    // extensions that produce the same tuple fold into it.
     for (const Entry& e : best) {
       const Node nd = nodes[e.node];
       double pr_total = e.total();
-      copy_index[e.node] = (int32_t)curr.size();
-      if (nd.label >= 0) {
-        ext_index[(int64_t)nd.parent * c + nd.label] = (int32_t)curr.size();
-      }
+      frame_idx[e.node] = (int32_t)curr.size();
       curr.push_back({e.node, kLogZero, kLogZero});
       Entry& ce = curr.back();
       ce.pr_blank = log_add(ce.pr_blank, pr_total + lp_blank);
@@ -157,14 +160,21 @@ int32_t ctc_beam_search(const float* probs, int32_t t_len, int32_t c,
             (nd.label == k && !prev_blank_ge) ? e.pr_blank : pr_total;
         double score = lp_k + lm + base;
         int64_t key = (int64_t)e.node * c + k;
-        auto it = ext_index.find(key);
-        int32_t idx;
-        if (it == ext_index.end()) {
+        auto cit = child_id.find(key);
+        int32_t child;
+        if (cit == child_id.end()) {
           nodes.push_back({e.node, k, nd.len + 1});
+          child = (int32_t)nodes.size() - 1;
+          child_id.emplace(key, child);
+        } else {
+          child = cit->second;
+        }
+        auto it = frame_idx.find(child);
+        int32_t idx;
+        if (it == frame_idx.end()) {
           idx = (int32_t)curr.size();
-          ext_index[key] = idx;
-          curr.push_back(
-              {(int32_t)nodes.size() - 1, kLogZero, kLogZero});
+          frame_idx.emplace(child, idx);
+          curr.push_back({child, kLogZero, kLogZero});
         } else {
           idx = it->second;
         }

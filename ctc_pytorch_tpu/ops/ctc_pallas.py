@@ -30,14 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _auto_interpret(interpret):
-    """None -> interpreter mode automatically when not running on TPU."""
-    if interpret is None:
-        return jax.default_backend() not in ("tpu", "axon")
-    return interpret
-
 from ctc_pytorch_tpu.ops.ctc_loss import NEG_INF, _emit_scores, _extend_labels
-from ctc_pytorch_tpu.ops.lstm_pallas import VMEM_BUDGET
+from ctc_pytorch_tpu.ops.lstm_pallas import VMEM_BUDGET, _auto_interpret
 
 
 def _lse3(a, b, c):
@@ -261,6 +255,7 @@ def ctc_loss_pallas(
     label_lengths: jnp.ndarray,
     blank: int = 0,
     reduction: str = "sum_over_batch",
+    zero_infinity: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for ``ops.ctc_loss`` backed by the Pallas DP kernels.
@@ -273,11 +268,16 @@ def ctc_loss_pallas(
     if not _pallas_fits_vmem(t_max, b, s):
         from ctc_pytorch_tpu.ops.ctc_loss import ctc_loss as _ctc_scan
         return _ctc_scan(log_probs, labels, input_lengths, label_lengths,
-                         blank=blank, reduction=reduction)
+                         blank=blank, reduction=reduction,
+                         zero_infinity=zero_infinity)
     neg_ll = _neg_ll_pallas(
         log_probs, labels, input_lengths.astype(jnp.int32),
         label_lengths.astype(jnp.int32), blank, interpret,
     )
+    if zero_infinity:
+        # same contract as ops.ctc_loss: infeasible utterances (loss at the
+        # ~-NEG_INF scale) are zeroed instead of dominating the batch
+        neg_ll = jnp.where(neg_ll >= -NEG_INF / 2, 0.0, neg_ll)
     if reduction == "none":
         return neg_ll
     if reduction == "sum":

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ctc_pytorch_tpu.ops.gru_pallas import _gru_cell
-from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, auto_chunk
+from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, auto_chunk, pad_t
 
 
 # ---------------------------------------------------------------------------
@@ -216,13 +216,6 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int,
 # wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _pad_t(x, chunk):
-    t = x.shape[0]
-    pad = (-t) % chunk
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x, t
-
 
 def _fwd_pallas(gx, w_hh, chunk, interpret):
     t_pad, b2, h3 = gx.shape
@@ -289,7 +282,7 @@ def gru_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
 
 def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
     interp = _auto_interpret(interpret)
-    gx_p, t = _pad_t(gx, fwd_chunk)
+    gx_p, t = pad_t(gx, fwd_chunk)
     ys = _fwd_pallas(gx_p, w_hh, fwd_chunk, interp)
     return ys[:t], (gx_p, w_hh, ys, t)
 

@@ -90,6 +90,16 @@ def stream_dtype_for(compute_dtype, b2: int):
     return jnp.float32
 
 
+def pad_t(x, chunk):
+    """Zero-pad the time axis to a multiple of ``chunk``; returns (padded,
+    original T).  Shared by every kernel wrapper that grids over T-chunks."""
+    t = x.shape[0]
+    pad = (-t) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, t
+
+
 def _make_kernel(chunk: int, t_max: int, b2: int, h: int,
                  sd=jnp.float32):
     n_chunks = t_max // chunk

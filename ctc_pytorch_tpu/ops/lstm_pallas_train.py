@@ -34,7 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ctc_pytorch_tpu.ops.lstm_pallas import _auto_interpret, _lstm_cell, auto_chunk
+from ctc_pytorch_tpu.ops.lstm_pallas import (
+    _auto_interpret,
+    _lstm_cell,
+    auto_chunk,
+    pad_t,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -246,13 +251,6 @@ def _make_bwd_kernel(chunk: int, t_max: int, b2: int, h: int,
 # wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _pad_t(x, chunk):
-    t = x.shape[0]
-    pad = (-t) % chunk
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x, t
-
 
 def _fwd_pallas(gx, w_hh, chunk, interpret):
     t_pad, b2, h4 = gx.shape
@@ -333,7 +331,7 @@ def lstm_scan_train(gx, w_hh, fwd_chunk: int = 4, bwd_chunk: int = 2,
 def _fwd_impl(gx, w_hh, fwd_chunk, bwd_chunk, interpret):
     interp = _auto_interpret(interpret)
     # stream dtype follows gx.dtype (bf16 streams halve kernel HBM traffic)
-    gx_p, t = _pad_t(gx, fwd_chunk)
+    gx_p, t = pad_t(gx, fwd_chunk)
     ys, cs = _fwd_pallas(gx_p, w_hh, fwd_chunk, interp)
     return ys[:t], (gx_p, w_hh, ys, cs, t)
 
@@ -442,6 +440,20 @@ def _bwd_auto_chunk(b2, h, w_bytes, budget=None, elem_bytes=4):
 _BWD_BUDGET = 14 * 1024 * 1024
 
 
+def train_v1_ok(b: int, h: int, compute_dtype) -> bool:
+    """Whether the v1 trainable kernel's backward fits VMEM at this shape
+    (directly or via the half-batch split) — callers fall back to the scan
+    path otherwise."""
+    from ctc_pytorch_tpu.ops.lstm_pallas import stream_dtype_for
+
+    sd_bytes = jnp.dtype(stream_dtype_for(compute_dtype, 2 * b)).itemsize
+    w_bytes = 2 * h * 4 * h * 4
+    if _bwd_auto_chunk(2 * b, h, w_bytes, elem_bytes=sd_bytes) >= 1:
+        return True
+    return ((2 * b) % 16 == 0
+            and _bwd_auto_chunk(b, h, w_bytes, elem_bytes=sd_bytes) >= 1)
+
+
 def lstm_bidir_train(
     x: jnp.ndarray,  # (T, B, F)
     w_ih: jnp.ndarray,  # (2, F, 4H)
@@ -484,7 +496,14 @@ def lstm_bidir_train(
             half_chunk = _bwd_auto_chunk(b, h, w_bytes, elem_bytes=sd_bytes)
             if half_chunk >= 1:
                 bwd_split, bwd_chunk = True, half_chunk
-        bwd_chunk = max(bwd_chunk, 1)
+        if bwd_chunk == 0:
+            # fail loudly here rather than deep inside Mosaic with an
+            # opaque scoped-vmem allocation error (callers gate via
+            # train_v1_ok and fall back to the scan path)
+            raise ValueError(
+                f"lstm_bidir_train backward does not fit VMEM at B={b}, "
+                f"H={h} (even batch-split); use the scan path"
+            )
     else:
         fwd_chunk, bwd_chunk = chunk, max(chunk // 2, 1)
     ys = lstm_scan_train(

@@ -32,8 +32,25 @@ class MetricsLogger:
         with open(self.jsonl, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self._csv_fields is None:
-            self._csv_fields = list(record.keys())
-            write_header = not self.csv.exists()
+            write_header = True
+            if self.csv.exists():
+                # resuming into an existing CSV: rows must align under ITS
+                # header.  Same schema -> append; different schema -> rotate
+                # the old file aside and start fresh (appending rows in a
+                # new column order under an old header silently corrupts
+                # every downstream read).
+                with open(self.csv, newline="") as f:
+                    existing = next(csv.reader(f), None)
+                if existing == list(record.keys()):
+                    self._csv_fields = existing
+                    write_header = False
+                elif existing:
+                    n = 1
+                    while (rot := self.csv.with_suffix(f".{n}.csv")).exists():
+                        n += 1
+                    self.csv.rename(rot)
+            if self._csv_fields is None:
+                self._csv_fields = list(record.keys())
             with open(self.csv, "a", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=self._csv_fields,
                                    extrasaction="ignore")

@@ -60,6 +60,13 @@ def test_pallas_infeasible_utterance_keeps_grads_finite():
     assert np.isfinite(np.asarray(loss_pal)).all()
     assert float(loss_pal[1]) > 1e20  # impossible alignment: huge loss
 
+    # zero_infinity drops the infeasible row entirely (torch's knob)
+    z = ctc_loss_pallas(lp, labels, il, ll, reduction="none",
+                        zero_infinity=True, interpret=True)
+    assert float(z[1]) == 0.0
+    np.testing.assert_allclose(np.asarray(z)[[0, 2]],
+                               np.asarray(loss_pal)[[0, 2]])
+
     f_pal = lambda x: ctc_loss_pallas(x, labels, il, ll, reduction="sum",
                                       interpret=True)
     f_ref = lambda x: ctc_loss(x, labels, il, ll, reduction="sum")

@@ -109,6 +109,44 @@ def test_beam_search_matches_brute_force(seed):
     np.testing.assert_allclose(score, expect_score, rtol=1e-4)
 
 
+def test_native_beam_matches_python_fuzz():
+    """C++ search vs the dict-keyed python parity search on random inputs.
+
+    Regression: the native search kept per-frame extension indices only, so
+    a prefix pruned at time t and RE-CREATED later got a fresh node and its
+    probability mass split instead of merging (diverged on ~0.5% of random
+    cases under tight beams).  Node ids are now canonical per label tuple."""
+    from ctc_pytorch_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(0)
+    n_lm = 0
+    for case in range(200):
+        t = rng.randint(5, 14)
+        c = rng.randint(3, 6)
+        beam = rng.randint(2, 7)
+        probs = rng.dirichlet(np.ones(c) * 0.7, size=t).astype(np.float32)
+        if case % 3 == 0:  # every third case with a random bigram LM
+            lm = np.log(
+                rng.dirichlet(np.ones(c + 1), size=c + 1).astype(np.float32)
+            )
+            alpha = 0.3
+            n_lm += 1
+        else:
+            lm, alpha = None, 0.0
+        y_py, s_py = ctc_beam_search(
+            probs, beam_width=beam, lm_table=lm, lm_alpha=alpha,
+        )
+        y_nat, s_nat = native.ctc_beam_search_native(
+            probs, beam, lm, alpha, 0, t
+        )
+        assert tuple(y_nat) == tuple(y_py), (case, y_nat, y_py)
+        np.testing.assert_allclose(s_nat, s_py, rtol=1e-6, atol=1e-9,
+                                   err_msg=str(case))
+    assert n_lm > 50
+
+
 def test_beam_blank_skip():
     # a frame with blank prob > 0.9 is skipped entirely (BeamSearch.py:93-94)
     probs = np.array([[0.95, 0.05], [0.2, 0.8]])
