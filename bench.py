@@ -45,11 +45,11 @@ def model_flops_per_utt(spec, t_in: int) -> float:
         c = spec.cnn
         f = spec.rnn_input_size
         for i in range(c.layers):
+            # per-layer output sizes from CNNConfig's own floor arithmetic
+            # (single source of truth — a drift here would silently skew
+            # the MFU numbers in the bench artifact)
+            t, f = c.conv_out(i, t, f)
             kt, kf = c.kernel_size[i]
-            st, sf = c.stride[i]
-            pt, pf = c.padding[i]
-            t = (t + 2 * pt - kt) // st + 1
-            f = (f + 2 * pf - kf) // sf + 1
             cin, cout = c.channel[i]
             fl += 2.0 * t * f * cout * cin * kt * kf
             pk = c.pool_at(i)
@@ -200,7 +200,13 @@ def bench_torch_cpu(steps: int = 4, warmup: int = 1) -> float:
 
 def get_baseline() -> float:
     if BASELINE_FILE.exists():
-        return json.loads(BASELINE_FILE.read_text())["torch_cpu_utts_per_sec"]
+        cached = json.loads(BASELINE_FILE.read_text())
+        # the cache stamps the shapes it was measured at; a shape change
+        # must re-measure, or vs_baseline silently drifts by the shape ratio
+        if (cached.get("batch"), cached.get("t"), cached.get("f")) == (
+            TORCH_BATCH, T, F,
+        ):
+            return cached["torch_cpu_utts_per_sec"]
     val = bench_torch_cpu()
     BASELINE_FILE.write_text(json.dumps({
         "torch_cpu_utts_per_sec": val,

@@ -47,12 +47,45 @@ def main(argv=None):
         print(f"Data preparation succeeded: {counts}")
     if active(1):
         make_feat.main([args.feat, args.data])
+    conf = args.conf
+    if active(2) or active(4):
+        # stages 2/4 read corpus paths from the YAML; when --data points
+        # somewhere else, remap the conf's data-relative paths onto it
+        # (otherwise training would miss the artifacts stages 0-1 just
+        # wrote, or silently pick up a stale default data/ tree)
+        conf = _conf_for_data(args.conf, args.data)
     if active(2):
-        train_cli.main(["--conf", args.conf])
+        train_cli.main(["--conf", conf])
     if active(3):
         train_lm.main([args.data])
     if active(4):
-        test_cli.main(["--conf", args.conf])
+        test_cli.main(["--conf", conf])
+
+
+def _conf_for_data(conf_path: str, data_dir: str) -> str:
+    """Rewrite the conf's data-relative path fields onto ``data_dir``;
+    returns the original path when it already matches."""
+    cfg = load_config(conf_path)
+    old = Path(cfg.data_dir)
+    new = Path(data_dir)
+    if old.resolve() == new.resolve():
+        return conf_path
+    for field in ("vocab_file", "train_scp_path", "train_lab_path",
+                  "valid_scp_path", "valid_lab_path", "test_scp_path",
+                  "test_lab_path", "lm_path"):
+        v = getattr(cfg, field, None)
+        if not v:
+            continue
+        try:
+            rel = Path(v).relative_to(old)
+        except ValueError:
+            continue  # not under the conf's data_dir: leave it alone
+        setattr(cfg, field, str(new / rel))
+    cfg.data_dir = str(new)
+    out = new / "conf_resolved.yaml"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    cfg.to_yaml(out)
+    return str(out)
 
 
 if __name__ == "__main__":

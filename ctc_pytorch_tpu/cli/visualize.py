@@ -29,10 +29,23 @@ def visualize(cfg, package_path: str, out_path: str, fold_48_39: bool = False,
     vocab = Vocab(cfg.vocab_file)
     spec, params, mstate, _ = model_from_package(package_path)
     ds = SpeechDataset(vocab, cfg.test_scp_path, cfg.test_lab_path, cfg)
-    loader = SpeechDataLoader(ds, 1, shuffle=False, num_buckets=1)
+    # num_buckets=0: reference-exact per-utterance padding — bucket padding
+    # would append a long garbage tail (up to the corpus max length) to
+    # every visualized tensor
+    loader = SpeechDataLoader(ds, 1, shuffle=False, num_buckets=0)
     batch = next(iter(loader))
+    feats = jnp.asarray(batch.feats)
+    # waveform-trained packages visualize through the same step-fused
+    # frontend they were trained with (cli.train/cli.test contract)
+    from ctc_pytorch_tpu.frontend.e2e import frontend_fn_from_config
+
+    frontend_fn = frontend_fn_from_config(cfg)
+    if frontend_fn is not None:
+        feats, _, _ = frontend_fn(
+            feats, jnp.asarray(batch.input_lengths.astype(np.float32))
+        )
     log_probs, _, visual = CTCModel.apply(
-        spec, params, mstate, jnp.asarray(batch.feats), visualize=True
+        spec, params, mstate, feats, visualize=True
     )
     arrays = {
         "utt": np.array(batch.utts[0]),

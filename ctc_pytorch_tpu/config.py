@@ -83,11 +83,19 @@ class CNNConfig:
                 ds *= pk[0]
         return ds
 
+    def conv_out(self, i: int, t: int, f: int) -> Pair:
+        """Layer ``i``'s conv output (t', f') — floor arithmetic, pre-pool
+        (``model_ctc.py:111,116``).  The single source of truth for conv
+        shape math (bench.py's FLOPs accounting reuses it)."""
+        kt, kf = self.kernel_size[i]
+        st, sf = self.stride[i]
+        pt, pf = self.padding[i]
+        return (t + 2 * pt - kt) // st + 1, (f + 2 * pf - kf) // sf + 1
+
     def output_time_len(self, t: int) -> int:
         """Frames out of the conv stack for ``t`` frames in (floor conv arith)."""
         for i in range(self.layers):
-            k, s, p = self.kernel_size[i][0], self.stride[i][0], self.padding[i][0]
-            t = (t + 2 * p - k) // s + 1
+            t = self.conv_out(i, t, 0)[0]
             pk = self.pool_at(i)
             if pk:
                 t = (t - pk[0]) // pk[0] + 1
@@ -96,8 +104,7 @@ class CNNConfig:
     def output_freq_len(self, f: int) -> int:
         """Feature-axis size after the conv stack (``model_ctc.py:111,116``)."""
         for i in range(self.layers):
-            k, s, p = self.kernel_size[i][1], self.stride[i][1], self.padding[i][1]
-            f = (f + 2 * p - k) // s + 1
+            f = self.conv_out(i, 0, f)[1]
             pk = self.pool_at(i)
             if pk:
                 f = (f - pk[1]) // pk[1] + 1

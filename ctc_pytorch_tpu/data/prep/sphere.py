@@ -57,12 +57,13 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
         rate = w.getframerate()
         n = w.getnframes()
         width = w.getsampwidth()
+        channels = w.getnchannels()
         raw = w.readframes(n)
     if width != 2:
         raise ValueError(f"unsupported sample width {width}")
     samples = np.frombuffer(raw, dtype="<i2")
-    if w.getnchannels() > 1:
-        samples = samples.reshape(-1, w.getnchannels()).mean(axis=1).astype(np.int16)
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
     return samples, rate
 
 
@@ -73,7 +74,8 @@ def read_audio(path: str | Path, normalize: bool = False) -> np.ndarray:
     28-41``): per-utterance mean/std normalisation of the raw waveform.
     """
     p = Path(path)
-    head = p.open("rb").read(8)
+    with p.open("rb") as f:
+        head = f.read(8)
     if head.startswith(b"NIST_1A"):
         samples, _ = read_sphere(p)
     else:

@@ -89,7 +89,10 @@ class ModelSpec:
         for pk in ("channel", "kernel_size", "stride", "padding"):
             cnn[pk] = [tuple(p) for p in cnn[pk]]
         if cnn.get("pooling"):
-            cnn["pooling"] = [tuple(p) for p in cnn["pooling"]]
+            # entries are PER LAYER and may be None for unpooled layers
+            cnn["pooling"] = [
+                tuple(p) if p is not None else None for p in cnn["pooling"]
+            ]
         return cls(cnn=CNNConfig(**cnn), **d)
 
     @property

@@ -25,8 +25,28 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Bring up jax.distributed (no-op for single-process runs)."""
-    if num_processes in (None, 1):
+    """Bring up jax.distributed.
+
+    With all arguments None this calls ``jax.distributed.initialize()``
+    bare, letting JAX auto-detect the pod topology from the environment —
+    the standard multi-host TPU bring-up.  (Silently skipping that case
+    would leave each host of a pod training an independent model:
+    process_count stays 1 everywhere and no error ever surfaces.)  When no
+    cluster environment is detectable (single-process dev runs) this is a
+    logged no-op.  Pass ``num_processes=1`` for an explicit no-op."""
+    if num_processes == 1:
+        return
+    if (coordinator_address is None and num_processes is None
+            and process_id is None):
+        import logging
+
+        try:
+            jax.distributed.initialize()  # env auto-detection
+        except (ValueError, RuntimeError) as exc:
+            logging.getLogger(__name__).info(
+                "jax.distributed auto-detection found no cluster "
+                "environment (%s); continuing single-process", exc,
+            )
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

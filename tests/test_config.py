@@ -133,3 +133,12 @@ def test_cnn_per_layer_pooling():
     out, _ = cnn_stack_apply(params, state, x, cnn, train=False)
     # (B, T', F', C): time/freq match the arithmetic above
     assert out.shape[1] == 16 and out.shape[2] == 8
+    # checkpoint roundtrip: the spec dict keeps per-layer None entries
+    from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+
+    spec = ModelSpec(add_cnn=True, cnn=cnn, rnn_input_size=16,
+                     rnn_hidden_size=8, rnn_layers=1, rnn_cell="lstm",
+                     bidirectional=True, batch_norm=True, num_class=4,
+                     drop_out=0.0)
+    spec2 = ModelSpec.from_dict(spec.to_dict())
+    assert spec2.cnn.pooling == [None, (2, 2)]

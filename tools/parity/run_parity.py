@@ -216,10 +216,25 @@ def main(argv=None):
         corpus.update(min_dur=10, max_dur=20)
 
     # ---- shared corpus ----------------------------------------------------
-    if not (data / "units").exists():
+    # a corpus built for a different flag combination (--small/--hard/--cnn
+    # change durations/noise/sizes) must be REGENERATED, not silently
+    # reused — e.g. the CNN regime needs min_dur>=10 or the torch side hits
+    # inf loss on short utterances; stamp the params and compare
+    import json as _json
+
+    stamp = data / "corpus_params.json"
+    want = _json.dumps(corpus, sort_keys=True)
+    if not (data / "units").exists() or (
+        not stamp.exists() or stamp.read_text() != want
+    ):
+        if data.exists():
+            import shutil
+
+            shutil.rmtree(data)
         from tools.parity.gen_corpus import generate
 
         counts = generate(data, **corpus)
+        stamp.write_text(want)
         print("corpus:", counts, flush=True)
 
     # ---- shared bigram LM (ours trains it; both sides read the ARPA) ------
