@@ -91,6 +91,14 @@ def run_split(
             t = max(0, 1 + (n - flen) // shift)
         padded = np.zeros(_bucket_pad(max(n, flen)), np.float32)
         padded[:n] = wav
+        if feat_type == "spectrum" and n >= 2:
+            # librosa center=True reflects the TRUE signal tail; the last
+            # valid frames' windows reach up to n + n_fft//2 samples, so
+            # reflect the tail into the pad region instead of leaving
+            # zeros (which would leak into those frames' STFT)
+            m = min(flen // 2 + shift, n - 1, len(padded) - n)
+            if m > 0:
+                padded[n:n + m] = wav[n - 2:n - 2 - m:-1]
         full = extract_features(padded, feat_type, cfg, deltas)[:t]
         feats_out[utt] = full
         if collect_stats:

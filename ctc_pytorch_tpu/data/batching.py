@@ -295,27 +295,26 @@ class SpeechDataLoader:
         sentinel = object()
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for indices, t_pad, l_pad in self.batcher.epoch_batches(
                     self.epoch
                 ):
-                    batch = self._make_batch(indices, t_pad, l_pad)
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not _put(self._make_batch(indices, t_pad, l_pad)):
                         return
-            finally:
-                while not stop.is_set():
-                    try:
-                        q.put(sentinel, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                _put(sentinel)
+            except BaseException as exc:  # propagate: a corrupt item must
+                # fail the epoch loudly, not end it early as if complete
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -324,6 +323,8 @@ class SpeechDataLoader:
                 item = q.get()
                 if item is sentinel:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

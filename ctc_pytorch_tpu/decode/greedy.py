@@ -84,12 +84,11 @@ class GreedyDecoder:
         )
         tokens, lens = np.asarray(tokens), np.asarray(lens)
         targets = np.asarray(targets)
-        errs = total = 0
-        from ctc_pytorch_tpu.ops.editdistance import edit_distance
+        tsizes = np.asarray(target_sizes, np.int64)
+        from ctc_pytorch_tpu.ops.editdistance import padded_edit_distance
 
-        for i in range(tokens.shape[0]):
-            ref = targets[i][: int(target_sizes[i])]
-            hyp = tokens[i][: int(lens[i])]
-            errs += edit_distance(ref, hyp)
-            total += len(ref)
-        return errs, total
+        if tokens.shape[1] == 0:  # zero-capacity hyps: all deletions
+            dists = tsizes
+        else:
+            dists = padded_edit_distance(targets, tsizes, tokens, lens)
+        return int(np.sum(dists)), int(np.sum(tsizes))

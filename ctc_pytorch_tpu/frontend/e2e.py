@@ -77,7 +77,13 @@ def waveform_frontend(
         raise ValueError(f"unknown feat_type {spec.feat_type!r}")
     if cmvn is not None:
         feats = apply_cmvn(feats, cmvn[0], cmvn[1])
-    feats = make_context(feats, spec.left_ctx, spec.right_ctx)
+    # valid frame counts BEFORE splicing: the context splice replicates
+    # each utterance's own edge, not the padded-buffer edge
+    n_frames = jnp.maximum(
+        0, 1 + (wav_lengths - cfg.frame_length) // cfg.frame_shift
+    )
+    feats = make_context(feats, spec.left_ctx, spec.right_ctx,
+                         lengths=n_frames)
     feats = skip_frames(feats, spec.n_skip_frame)
     ds = max(spec.n_downsample, 1)
     if ds > 1 and feats.shape[-2] % ds:
@@ -86,9 +92,7 @@ def waveform_frontend(
         widths[-2] = (0, pad)
         feats = jnp.pad(feats, widths)
 
-    frame_len = jnp.maximum(
-        0, 1 + (wav_lengths - cfg.frame_length) // cfg.frame_shift
-    )
+    frame_len = n_frames
     if spec.n_skip_frame > 1:
         frame_len = -(-frame_len // spec.n_skip_frame)
     if ds > 1:

@@ -126,9 +126,17 @@ def _preprocess_frames(
     """
     x = frames.astype(jnp.float32)
     if cfg.dither > 0.0:
-        # deterministic dither keyed on the config seed (Kaldi uses RandGauss;
-        # we default dither=0.0 for reproducibility, Kaldi defaults 1.0)
+        # deterministic dither keyed on the config seed AND the signal
+        # content (Kaldi uses RandGauss; we default dither=0.0 for
+        # reproducibility, Kaldi defaults 1.0).  The content fold-in keeps
+        # the noise distinct per utterance — a seed-only key would add the
+        # SAME pattern to every same-shaped input, a fixed bias rather
+        # than dither.
         key = jax.random.PRNGKey(cfg.dither_seed)
+        h = jax.lax.bitcast_convert_type(
+            jnp.sum(jnp.abs(x)).astype(jnp.float32), jnp.uint32
+        )
+        key = jax.random.fold_in(key, h)
         x = x + cfg.dither * jax.random.normal(key, x.shape, jnp.float32)
     if cfg.remove_dc:
         x = x - jnp.mean(x, axis=-1, keepdims=True)

@@ -19,10 +19,31 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 
-def make_context(feats: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
-    """(..., T, F) -> (..., T, F*(left+1+right)) with edge replication."""
+def make_context(
+    feats: jnp.ndarray, left: int, right: int,
+    lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(..., T, F) -> (..., T, F*(left+1+right)) with edge replication.
+
+    ``lengths`` (leading-axes shaped, optional): per-utterance valid frame
+    counts for a batched padded input.  Without it the right-edge
+    replication uses the PADDED edge, so the last ``right`` valid frames of
+    a shorter-than-padding utterance would see padding/garbage frames as
+    context instead of the reference's replicated last valid frame
+    (``tools.py:66-75``) — pass lengths whenever T is padded."""
     if left == 0 and right == 0:
         return feats
+    if lengths is not None:
+        t = feats.shape[-2]
+        pos = jnp.arange(t)
+        last = (lengths.astype(jnp.int32) - 1).reshape(
+            lengths.shape + (1,)
+        )  # (..., 1)
+        cols = []
+        for shift in range(-left, right + 1):
+            idx = jnp.clip(pos + shift, 0, jnp.maximum(last, 0))  # (..., T)
+            cols.append(jnp.take_along_axis(feats, idx[..., None], axis=-2))
+        return jnp.concatenate(cols, axis=-1)
     cols = []
     for shift in range(-left, right + 1):
         if shift < 0:
@@ -79,12 +100,12 @@ def splice_and_skip(
     """Full per-utterance transform of ``SpeechDataset.__getitem__``
     (``timit/utils/data_loader.py:104-110``), batched.
 
-    For a batched padded input the edge replication uses the padded edge; with
-    zero padding this matches the reference's per-utterance behaviour for all
-    frames the CTC length bookkeeping considers valid.  Returns the new valid
-    lengths alongside.
+    With ``lengths`` the context splice replicates each utterance's OWN edge
+    (not the padded edge) and the returned valid lengths include the
+    pad-to-downsample round-up, matching ``SpeechDataset``'s host-side
+    contract exactly (``skipped_len`` then ``downsampled_len``).
     """
-    out = make_context(feats, left_ctx, right_ctx)
+    out = make_context(feats, left_ctx, right_ctx, lengths=lengths)
     out = skip_frames(out, n_skip_frame)
     out = pad_to_downsample(out, n_downsample)
     if lengths is None:
@@ -92,4 +113,10 @@ def splice_and_skip(
     new_len = lengths
     if n_skip_frame > 1:
         new_len = -(-new_len // n_skip_frame)
+    if n_downsample > 1:
+        # the reference zero-pads each item's rows to a multiple of
+        # n_downsample and the PADDED count is the item's length
+        # (data_loader.py:106-110)
+        new_len = new_len + (-new_len) % n_downsample
+    new_len = jnp.minimum(new_len, out.shape[-2])
     return out, new_len

@@ -72,7 +72,6 @@ def _padded_edit_distance_numpy(
     """
     b, n_max = refs.shape
     m_max = hyps.shape[1]
-    big = np.int64(1 << 30)
     prev = np.broadcast_to(np.arange(m_max + 1, dtype=np.int64), (b, m_max + 1)).copy()
     # positions beyond hyp_lens are clamped later; run full DP then gather
     for i in range(1, n_max + 1):

@@ -61,4 +61,6 @@ def test_full_pipeline_matches_reference_composition():
         ref = np.vstack([ref, np.zeros((1, ref.shape[1]))])
     ours, new_len = splice_and_skip(feat[None], np.array([33]), 0, 2, 2, 2)
     np.testing.assert_allclose(np.asarray(ours)[0], ref, rtol=1e-6)
-    assert int(new_len[0]) == 17
+    # valid length includes the pad-to-downsample round-up, the same
+    # contract as SpeechDataset (skipped_len 17 -> downsampled_len 18)
+    assert int(new_len[0]) == 18

@@ -48,10 +48,10 @@ def test_waveform_frontend_matches_offline_pipeline():
         t_i = int(frame_len[i])
         assert t_i == ref.shape[0]
         got = np.asarray(feats[i, :t_i])
-        # frames whose context window crosses the padding boundary differ
-        # (edge replication sees padded frames); all others match exactly
-        np.testing.assert_allclose(got[: t_i - 1], np.asarray(ref)[: t_i - 1],
-                                   rtol=1e-4, atol=1e-4)
+        # ALL valid frames match, boundary included: the batched splice
+        # replicates each utterance's own edge (regression: it used to see
+        # padded-buffer garbage as the last frames' right context)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
 def test_waveform_frontend_downsample_padding_matches_offline():
