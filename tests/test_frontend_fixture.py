@@ -16,27 +16,19 @@ import numpy as np
 import pytest
 
 from ctc_pytorch_tpu.frontend.features import (
-    FrontendConfig,
     add_deltas,
     fbank,
     log_spectrum_librosa,
     mfcc,
 )
-from tools.gen_frontend_fixture import waves
+# SHARED with the generator: a test-local config copy would let an
+# edited-but-unregenerated generator config pass silently against a stale
+# fixture; importing it makes the forgotten regeneration fail here
+from tools.gen_frontend_fixture import configs, waves
 
 FIXTURE = Path(__file__).parent / "fixtures" / "frontend_golden.npz"
 
-CONFIGS = {
-    "fbank81_hamming": ("fbank", FrontendConfig(
-        num_mel_bins=80, use_energy=True, window="hamming")),
-    "fbank40_povey": ("fbank", FrontendConfig(
-        num_mel_bins=40, use_energy=False, window="povey")),
-    "mfcc13": ("mfcc", FrontendConfig(
-        num_ceps=13, use_energy=False, window="povey")),
-    "mfcc39_deltas": ("mfcc_deltas", FrontendConfig(
-        num_ceps=13, use_energy=False, window="povey")),
-    "spectrum201": ("spectrum", None),
-}
+CONFIGS = configs()
 
 
 def _compute(kind, cfg, wav):

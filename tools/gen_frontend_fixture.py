@@ -16,7 +16,6 @@ by the independent checks in test_frontend_golden.py first.
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 from pathlib import Path
 
@@ -27,6 +26,33 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 OUT = REPO / "tests" / "fixtures" / "frontend_golden.npz"
+
+
+def configs() -> dict:
+    """The frozen configurations — SHARED with tests/test_frontend_fixture
+    (a test-local copy would let an edited-but-unregenerated config pass
+    silently against the stale npz)."""
+    from ctc_pytorch_tpu.frontend.features import FrontendConfig
+
+    return {
+        # the flagship recipe: fbank 80 mel + energy, hamming
+        # (timit/conf/fbank.conf:1-3)
+        "fbank81_hamming": ("fbank", FrontendConfig(
+            num_mel_bins=80, use_energy=True, window="hamming")),
+        # Kaldi defaults: povey window, snip-edges
+        "fbank40_povey": ("fbank", FrontendConfig(
+            num_mel_bins=40, use_energy=False, window="povey")),
+        # 13-dim mfcc per timit/conf/mfcc.conf (--use-energy=false; the
+        # MFCC energy knob is mfcc_use_energy — plain use_energy is a
+        # fbank-only option the mfcc path ignores)
+        "mfcc13": ("mfcc", FrontendConfig(
+            num_ceps=13, mfcc_use_energy=False, window="povey")),
+        # the README's "39dim mfcc": 13 + delta + ddelta
+        "mfcc39_deltas": ("mfcc_deltas", FrontendConfig(
+            num_ceps=13, mfcc_use_energy=False, window="povey")),
+        # librosa spectrum path (timit/local/make_spectrum.py)
+        "spectrum201": ("spectrum", None),
+    }
 
 
 def waves() -> dict:
@@ -51,10 +77,12 @@ def waves() -> dict:
 def main() -> None:
     import os
 
-    # config.update('jax_platforms') alone does NOT unseat the axon TPU
-    # plugin in this image — the env var must be set before backend init
-    # (same order tests/conftest.py uses), else the fixture silently bakes
-    # TPU numerics and the CPU-run pinning test fails by ~1e-1
+    # belt and braces for a hermetic CPU run: the env var works through the
+    # package __init__'s re-assert shim (jax._src may be preloaded with the
+    # launch-time value), and the direct config.update covers bare-import
+    # flows — either alone can be too late depending on how the image
+    # preloads jax, so apply both BEFORE any backend init, else the fixture
+    # silently bakes TPU numerics and the CPU pinning test fails by ~1e-1
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -63,34 +91,15 @@ def main() -> None:
     assert jax.devices()[0].platform == "cpu", jax.devices()
 
     from ctc_pytorch_tpu.frontend.features import (
-        FrontendConfig,
         add_deltas,
         fbank,
         log_spectrum_librosa,
         mfcc,
     )
 
-    configs = {
-        # the flagship recipe: fbank 80 mel + energy, hamming
-        # (timit/conf/fbank.conf:1-3)
-        "fbank81_hamming": ("fbank", FrontendConfig(
-            num_mel_bins=80, use_energy=True, window="hamming")),
-        # Kaldi defaults: povey window, snip-edges
-        "fbank40_povey": ("fbank", FrontendConfig(
-            num_mel_bins=40, use_energy=False, window="povey")),
-        # 13-dim mfcc per timit/conf/mfcc.conf (--use-energy=false)
-        "mfcc13": ("mfcc", FrontendConfig(
-            num_ceps=13, use_energy=False, window="povey")),
-        # the README's "39dim mfcc": 13 + delta + ddelta
-        "mfcc39_deltas": ("mfcc_deltas", FrontendConfig(
-            num_ceps=13, use_energy=False, window="povey")),
-        # librosa spectrum path (timit/local/make_spectrum.py)
-        "spectrum201": ("spectrum", None),
-    }
-
     out = {}
     for wname, wav in waves().items():
-        for cname, (kind, cfg) in configs.items():
+        for cname, (kind, cfg) in configs().items():
             if kind == "fbank":
                 feat = fbank(wav, cfg)
             elif kind == "mfcc":

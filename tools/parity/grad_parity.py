@@ -40,7 +40,6 @@ for p in (str(REPO), str(REF), str(SHIMS)):
 
 class Opts:
     batch_size = 4
-    dropout = 0.1
 
 
 def torch_side(conf: dict, n_batches: int, init_pkl: Path,

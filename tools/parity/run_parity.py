@@ -137,6 +137,18 @@ def ref_env():
     return env
 
 
+def eval_cmd(conf_path, package_path) -> list:
+    """The shared CPU/highest-precision evaluate invocation — one builder so
+    the greedy and beam equality checks always run under identical numerics."""
+    return [sys.executable, "-c",
+            "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
+            "jax.config.update('jax_default_matmul_precision', 'highest');"
+            "from ctc_pytorch_tpu.config import load_config;"
+            "from ctc_pytorch_tpu.cli.test import evaluate;"
+            f"cfg = load_config(r'{conf_path}');"
+            f"evaluate(cfg, r'{package_path}', verbose=True)"]
+
+
 def parse_wer(text: str) -> float:
     m = re.findall(r"[Ww]ord error rate on test set:\s*([0-9.]+)", text)
     if not m:
@@ -220,10 +232,8 @@ def main(argv=None):
     # change durations/noise/sizes) must be REGENERATED, not silently
     # reused — e.g. the CNN regime needs min_dur>=10 or the torch side hits
     # inf loss on short utterances; stamp the params and compare
-    import json as _json
-
     stamp = data / "corpus_params.json"
-    want = _json.dumps(corpus, sort_keys=True)
+    want = json.dumps(corpus, sort_keys=True)
     if not (data / "units").exists() or (
         not stamp.exists() or stamp.read_text() != want
     ):
@@ -308,13 +318,7 @@ def main(argv=None):
     for split in ("dev", "test"):
         ref_dec = parse_decodes((wd / f"ref_test_{split}.log").read_text())
         out = run(
-            [sys.executable, "-c",
-             "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
-             "jax.config.update('jax_default_matmul_precision', 'highest');"
-             "from ctc_pytorch_tpu.config import load_config;"
-             "from ctc_pytorch_tpu.cli.test import evaluate;"
-             f"cfg = load_config(r'{confs[('ours', split)]}');"
-             f"evaluate(cfg, r'{imported}', verbose=True)"],
+            eval_cmd(confs[("ours", split)], imported),
             cwd=REPO, env=env, log_to=wd / f"imported_test_{split}.log")
         our_dec = parse_decodes(out)
         # ours prints utt ids; align by scp order for the reference side
@@ -360,14 +364,7 @@ def main(argv=None):
                     confs[("ours", split)].read_text()
                     .replace('decode_type: "Greedy"\n', extra))
                 out = run(
-                    [sys.executable, "-c",
-                     "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
-                     "jax.config.update('jax_default_matmul_precision', 'highest');"
-                     "from ctc_pytorch_tpu.config import load_config;"
-                     "from ctc_pytorch_tpu.cli.test import evaluate;"
-                     f"cfg = load_config(r'{conf_o}');"
-                     f"evaluate(cfg, r'{imported}', verbose=True)"],
-                    cwd=REPO, env=env,
+                    eval_cmd(conf_o, imported), cwd=REPO, env=env,
                     log_to=wd / f"ours_beam_{impl}_{split}.log")
                 our_dec = parse_decodes(out)
                 our_utts = [l.strip() for l in out.splitlines()

@@ -27,7 +27,7 @@ from tools.parity.gen_corpus import generate  # noqa: E402
 
 
 def mandarin_syllables(n: int) -> list:
-    """Pinyin-like syllable inventory (initial+final+tone), n <= 350."""
+    """Pinyin-like syllable inventory (initial+final+tone), n <= 252 (18 initials x 14 finals)."""
     initials = ["b", "p", "m", "f", "d", "t", "n", "l", "g", "k",
                 "h", "zh", "ch", "sh", "z", "c", "s", "r"]
     finals = ["a", "o", "e", "i", "u", "ai", "ei", "ao", "ou", "an",
@@ -141,12 +141,26 @@ def run(epochs: int, out_md: Path, work: Path,
     if decays and decays[0] <= 5:
         problems.append(f"decay inside least_train_epoch warmup: {decays[0]}")
     by_epoch = {r["epoch"]: r for r in rows}
-    for e in decays:
-        nxt = by_epoch.get(e + 1)
-        if nxt and abs(nxt["lr"] - by_epoch[e]["lr"] * 0.5) > 1e-12:
-            problems.append(
-                f"lr not halved after decay at {e}: "
-                f"{by_epoch[e]['lr']} -> {nxt['lr']}")
+    # the decay scales the lr embedded in the ROLLED-BACK snapshot (the
+    # reference reloads op_state then multiplies, train_ctc.py:178-182,
+    # 223-224) — which is the lr at the most recent snapshot event, NOT
+    # necessarily the lr logged at the decay epoch (two decays with no
+    # snapshot between them resurrect the pre-first-decay lr)
+    snap_lr = rows[0]["lr"]  # Trainer snapshots the initial state
+    for r in rows:
+        e = r["epoch"]
+        if r.get("snapshot"):
+            # Trainer applies the snapshot BEFORE a same-epoch rollback,
+            # so it is what a same-epoch decay restores
+            snap_lr = r["lr"]
+        if r.get("decay_lr"):
+            nxt = by_epoch.get(e + 1)
+            if nxt and abs(nxt["lr"] - snap_lr * 0.5) > 1e-12:
+                problems.append(
+                    f"lr after decay at {e} is {nxt['lr']}, expected "
+                    f"snapshot lr {snap_lr} * 0.5")
+            # NOTE: the rollback buffer itself is unchanged by the decay —
+            # snap_lr still reflects it until the next snapshot event
     final_adjust = rows[-1]["adjust_time"]
     if final_adjust != len(decays):
         problems.append(f"adjust_time {final_adjust} != decays {len(decays)}")
