@@ -297,8 +297,16 @@ def rnn_layer_apply(
                 out = gru_bidir_v2(x, w_ih, w_hh,
                                    compute_dtype=compute_dtype, train=train)
             elif train:
-                out = gru_bidir_train(x, w_ih, w_hh,
-                                      compute_dtype=compute_dtype)
+                from ctc_pytorch_tpu.ops.gru_pallas_train import gru_train_ok
+
+                if gru_train_ok(x.shape[1], hidden_size, compute_dtype):
+                    out = gru_bidir_train(x, w_ih, w_hh,
+                                          compute_dtype=compute_dtype)
+                else:  # backward doesn't fit VMEM: same math via scan
+                    out = _scan_bidir_fused(
+                        params, x, cell, hidden_size, compute_dtype,
+                        lengths=lengths,
+                    )
             else:
                 out = gru_bidir_pallas(x, w_ih, w_hh,
                                        compute_dtype=compute_dtype)

@@ -327,13 +327,24 @@ gru_scan_train.defvjp(_fwd_rule, _bwd_rule)
 
 def _gru_bwd_auto_chunk(b2, h, w_bytes, budget=13 * 1024 * 1024,
                         elem_bytes=4):
-    """gx (3H) + out (4H) double-buffered, two single-buffered H streams."""
+    """gx (3H) + out (4H) double-buffered, two single-buffered H streams.
+    Returns 0 when even chunk=1 would overflow VMEM (callers gate via
+    gru_train_ok and fall back to the scan path)."""
     carries = 2 * b2 * h * 4
     for c in (8, 4, 2, 1):
         bytes_ = (2 * c * b2 * 7 * h + 2 * c * b2 * h) * elem_bytes
         if bytes_ + w_bytes + carries <= budget:
             return c
-    return 1
+    return 0
+
+
+def gru_train_ok(b: int, h: int, compute_dtype) -> bool:
+    """Whether the trainable GRU kernel's backward fits VMEM at this shape."""
+    from ctc_pytorch_tpu.ops.lstm_pallas import stream_dtype_for
+
+    sd_bytes = jnp.dtype(stream_dtype_for(compute_dtype, 2 * b)).itemsize
+    w_bytes = 2 * h * 3 * h * 4
+    return _gru_bwd_auto_chunk(2 * b, h, w_bytes, elem_bytes=sd_bytes) >= 1
 
 
 def gru_bidir_train(
@@ -366,6 +377,11 @@ def gru_bidir_train(
                                elem_bytes=sd_bytes)
         bwd_chunk = _gru_bwd_auto_chunk(2 * b, h, w_bytes,
                                         elem_bytes=sd_bytes)
+        if bwd_chunk == 0:
+            raise ValueError(
+                f"gru_bidir_train backward does not fit VMEM at B={b}, "
+                f"H={h}; use the scan path"
+            )
     else:
         fwd_chunk, bwd_chunk = chunk, max(chunk // 2, 1)
     ys = gru_scan_train(

@@ -89,3 +89,19 @@ def test_unpadded_tail_chunk():
         np.asarray(jax.grad(loss)(w_hh)), np.asarray(jax.grad(loss_ref)(w_hh)),
         rtol=5e-4, atol=5e-5,
     )
+
+
+def test_vmem_guards_for_large_hidden():
+    """Shapes whose backward can't fit VMEM must be gated (callers fall
+    back to the scan path) instead of dying inside Mosaic."""
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.ops.gru_pallas_train import gru_train_ok
+    from ctc_pytorch_tpu.ops.lstm_pallas_train import train_v1_ok
+
+    # flagship shapes fit
+    assert train_v1_ok(128, 384, jnp.bfloat16)
+    assert gru_train_ok(128, 256, jnp.bfloat16)
+    # very large hidden sizes do not (fp32 weights alone exceed the budget)
+    assert not train_v1_ok(128, 1024, jnp.float32)
+    assert not gru_train_ok(128, 1024, jnp.float32)
