@@ -208,6 +208,31 @@ def _flip_within_lengths(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, jnp.broadcast_to(src[:, :, None], x.shape), axis=0)
 
 
+def _split_batch_run(ok, run, x, t: int, h: int, compute_dtype,
+                     max_slices: int = 8):
+    """Run a batch-independent kernel over batch slices when the whole
+    batch fails its VMEM/tiling gate but a divisor slice passes.
+
+    The RNN layer is independent across batch rows, so slicing axis 1 and
+    concatenating the per-slice outputs is exact (and differentiable
+    through each slice's custom VJP).  Without this, a batch just past
+    the v2 kernels' VMEM gate (e.g. B=256 at the flagship shape) falls
+    to the v1/scan paths and loses ~2x step rate (tools/probe_batch.py).
+    Returns the concatenated (T, B, 2H) output, or None when no split up
+    to ``max_slices`` passes ``ok`` (caller falls through to the next
+    kernel in its chain)."""
+    b = x.shape[1]
+    n = 2
+    while n <= max_slices:
+        if b % n == 0 and ok(t, b // n, h, compute_dtype):
+            s = b // n
+            return jnp.concatenate(
+                [run(x[:, i * s:(i + 1) * s]) for i in range(n)], axis=1
+            )
+        n *= 2
+    return None
+
+
 def rnn_layer_init(
     key, cell: str, input_size: int, hidden_size: int, bidirectional: bool,
     batch_norm: bool,
