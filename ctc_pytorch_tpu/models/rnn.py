@@ -307,9 +307,16 @@ def rnn_layer_apply(
                 out = rnn_bidir_v2(x, w_ih, w_hh,
                                    compute_dtype=compute_dtype, train=train)
             else:
-                out = rnn_bidir_pallas(x, w_ih, w_hh,
-                                       compute_dtype=compute_dtype,
-                                       train=train)
+                out = _split_batch_run(
+                    rnn_v2_ok,
+                    lambda xs: rnn_bidir_v2(xs, w_ih, w_hh,
+                                            compute_dtype=compute_dtype,
+                                            train=train),
+                    x, x.shape[0], hidden_size, compute_dtype)
+                if out is None:
+                    out = rnn_bidir_pallas(x, w_ih, w_hh,
+                                           compute_dtype=compute_dtype,
+                                           train=train)
         elif cell == "gru":
             from ctc_pytorch_tpu.ops.gru_pallas import gru_bidir_pallas
             from ctc_pytorch_tpu.ops.gru_pallas_train import gru_bidir_train
@@ -321,6 +328,13 @@ def rnn_layer_apply(
             if gru_v2_ok(x.shape[0], x.shape[1], hidden_size, compute_dtype):
                 out = gru_bidir_v2(x, w_ih, w_hh,
                                    compute_dtype=compute_dtype, train=train)
+            elif (out := _split_batch_run(
+                    gru_v2_ok,
+                    lambda xs: gru_bidir_v2(xs, w_ih, w_hh,
+                                            compute_dtype=compute_dtype,
+                                            train=train),
+                    x, x.shape[0], hidden_size, compute_dtype)) is not None:
+                pass
             elif train:
                 from ctc_pytorch_tpu.ops.gru_pallas_train import gru_train_ok
 
@@ -352,6 +366,15 @@ def rnn_layer_apply(
                 out = lstm_bidir_train_v2(
                     x, w_ih, w_hh, compute_dtype=compute_dtype
                 )
+            elif (out := _split_batch_run(
+                    train_v2_ok,
+                    lambda xs: lstm_bidir_train_v2(
+                        xs, w_ih, w_hh, compute_dtype=compute_dtype),
+                    x, x.shape[0], hidden_size, compute_dtype)) is not None:
+                # batch past the v2 VMEM gate (e.g. B=256 at the flagship
+                # shape): slice to the largest passing sub-batch instead of
+                # losing ~2x to the scan path (tools/probe_batch_scale.py)
+                pass
             elif train_v1_ok(x.shape[1], hidden_size, compute_dtype):
                 out = lstm_bidir_train(
                     x, w_ih, w_hh, compute_dtype=compute_dtype
@@ -377,9 +400,15 @@ def rnn_layer_apply(
                     x, w_ih, w_hh, compute_dtype=compute_dtype
                 )
             else:
-                out = lstm_bidir_pallas(
-                    x, w_ih, w_hh, compute_dtype=compute_dtype
-                )
+                out = _split_batch_run(
+                    lambda t, b, h, cd: v2_ok(t, b, h),
+                    lambda xs: lstm_bidir_pallas_v2(
+                        xs, w_ih, w_hh, compute_dtype=compute_dtype),
+                    x, x.shape[0], hidden_size, compute_dtype)
+                if out is None:
+                    out = lstm_bidir_pallas(
+                        x, w_ih, w_hh, compute_dtype=compute_dtype
+                    )
     elif "bwd" in params:
         out = _scan_bidir_fused(
             params, x, cell, hidden_size, compute_dtype, lengths=lengths
