@@ -30,12 +30,15 @@ T, F, L, NUM_CLASS = 160, 243, 48, 41
 N_INNER = 10
 
 
-def timed(f, *args, reps=3):
-    float(f(*args))
+def timed(f, state, key, reps=3):
+    # fresh key per call: the tunnel elides repeat calls with identical
+    # input values (KERNELS.md methodology rule), which reads as ~0 ms
+    keys = jax.random.split(key, reps + 1)
+    float(f(state, keys[0]))
     best = 1e9
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        float(f(*args))
+        float(f(state, keys[i + 1]))
         best = min(best, time.perf_counter() - t0)
     return best
 
