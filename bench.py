@@ -351,7 +351,7 @@ def bench_863_beam(beam_width: int = 20) -> dict:
     }
 
 
-def bench_epoch() -> dict:
+def bench_epoch(only: "set | None" = None) -> dict:
     """Honest end-to-end throughput: a full epoch of the flagship recipe
     through ``SpeechDataLoader`` (bucketed shapes, host splice/skip, padding,
     per-step WER) over a TIMIT-sized synthetic ark corpus, plus a stage-4
@@ -408,7 +408,8 @@ def bench_epoch() -> dict:
     )
     state, tx = create_train_state(jax.random.PRNGKey(0), spec, cfg.init_lr,
                                    cfg.weight_decay)
-    step_fns = make_step_fns(spec, tx, ctc_impl="pallas")
+    fns = make_step_fns(spec, tx, ctc_impl="pallas", return_raw=True)
+    step_fns = fns[:2]
     rng = jax.random.PRNGKey(1)
     n_utts = len(ds)
 
@@ -425,6 +426,8 @@ def bench_epoch() -> dict:
         ("_devcache_nower", cached, False),
     ]
     for suffix, ld, wer_on in variants:
+        if only is not None and suffix not in only:
+            continue
         # a warm pass per variant: compute_wer toggles the per-step greedy
         # decode, i.e. a different jitted program per bucket shape
         state, _, _ = run_epoch(0, step_fns, state, ld, training=True,
@@ -436,6 +439,28 @@ def bench_epoch() -> dict:
                                    log=lambda *a: None)
         dt = _time.perf_counter() - t0
         out["epoch_utts_per_sec" + suffix] = n_utts / dt
+    # fused mode: one jitted scan per bucket group (cfg.fused_epoch) —
+    # the host dispatches O(buckets) calls per epoch instead of O(batches)
+    from ctc_pytorch_tpu.train.loop import make_fused_fns, run_epoch_fused
+
+    fused_fns = make_fused_fns(fns[2:])
+    for suffix, wer_on in [("_fused", True), ("_fused_nower", False)]:
+        if only is not None and suffix not in only:
+            continue
+        state, _, _ = run_epoch_fused(0, fused_fns, state, cached,
+                                      training=True, rng=rng,
+                                      compute_wer=wer_on, log=lambda *a: None)
+        t0 = _time.perf_counter()
+        state, _, loss = run_epoch_fused(1, fused_fns, state, cached,
+                                         training=True, rng=rng,
+                                         compute_wer=wer_on,
+                                         log=lambda *a: None)
+        dt = _time.perf_counter() - t0
+        out["epoch_utts_per_sec" + suffix] = n_utts / dt
+    if only is not None and "stage4" not in only:
+        out["corpus_utts"] = n_utts
+        return out
+
     # stage-4: forward + on-device greedy over the same loader
     @jax.jit
     def fwd(feats):

@@ -145,6 +145,17 @@ class Config:
     # than serial streaming (BENCH_EXTRA epoch_utts_per_sec_prefetch_nower
     # vs _nower); set False on such rigs
     host_prefetch: bool = True
+    # with the device cache on: run each epoch as ONE jitted lax.scan per
+    # bucket-shape group (gather + train step + metric accumulation all
+    # on device), so the host dispatches O(buckets) calls per epoch
+    # instead of O(batches) — removes the per-step dispatch latency that
+    # bounds the epoch rate on high-RTT rigs.  Batch composition and
+    # per-batch numerics are identical to the streaming path; the only
+    # semantic difference is batch ORDER: batches are grouped by bucket
+    # shape (within-group order preserved), so the optimizer visits
+    # buckets in blocks rather than interleaved.  Off by default to keep
+    # the reference's exact visiting order.
+    fused_epoch: bool = False
     feature_dim: int = 81
     output_class_dim: int = 39
     mel: bool = False

@@ -516,6 +516,50 @@ class DeviceCachedLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def epoch_groups(self, epoch: int):
+        """The epoch's batches grouped by static shape, for fused
+        multi-step scans (``train.loop.run_epoch_fused``).
+
+        Yields ``(arrs, pos, mask, t_pad)`` per group, where ``arrs`` is
+        the bucket's device-resident array dict, ``pos`` is an
+        (n_batches, B) int32 matrix of row positions into it, and ``mask``
+        the matching example masks.  Batch composition is identical to
+        ``__iter__`` over the same epoch (both drive
+        ``BucketBatcher.epoch_batches``); only the ORDER differs — batches
+        are grouped by (bucket, t_pad, B) in order of first appearance,
+        within-group order preserved."""
+        groups: dict = {}
+        order = []
+        for indices, t_pad, _l_pad in self.loader.batcher.epoch_batches(
+            epoch
+        ):
+            idx = np.asarray(indices)
+            n_real = len(idx)
+            if self.pad_to_full_batch and n_real < self.batch_size:
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1:], self.batch_size - n_real)]
+                )
+            b_idx = int(self._bucket_of[idx[0]])
+            tp = int(t_pad or self._bucket_arrays[b_idx]["t_pad"])
+            key = (b_idx, tp, len(idx))
+            if key not in groups:
+                groups[key] = ([], [])
+                order.append(key)
+            mask = np.ones((len(idx),), np.float32)
+            if n_real < len(idx):
+                mask[n_real:] = 0.0
+            groups[key][0].append(self._pos_in_bucket[idx])
+            groups[key][1].append(mask)
+        for key in order:
+            b_idx, tp, _ = key
+            poss, masks = groups[key]
+            yield (
+                self._bucket_arrays[b_idx],
+                np.stack(poss).astype(np.int32),
+                np.stack(masks).astype(np.float32),
+                tp,
+            )
+
     def __iter__(self):
         jnp = self._jnp
         for indices, t_pad, l_pad in self.loader.batcher.epoch_batches(

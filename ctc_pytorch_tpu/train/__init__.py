@@ -5,4 +5,9 @@ from ctc_pytorch_tpu.train.checkpoint import (  # noqa: F401
     load_package,
     model_from_package,
 )
-from ctc_pytorch_tpu.train.loop import Trainer, run_epoch  # noqa: F401
+from ctc_pytorch_tpu.train.loop import (  # noqa: F401
+    Trainer,
+    make_fused_fns,
+    run_epoch,
+    run_epoch_fused,
+)

@@ -45,7 +45,8 @@ from ctc_pytorch_tpu.train.state import (
 
 
 def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
-                  frontend_fn=None, ctc_impl: str = "scan"):
+                  frontend_fn=None, ctc_impl: str = "scan",
+                  return_raw: bool = False):
     """Build jitted (train_step, eval_step) closed over spec and optimizer.
 
     With ``frontend_fn`` (waveform-in end-to-end), ``feats`` carries padded
@@ -153,7 +154,129 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
     else:
         train_jit = jax.jit(train_step, **donate)
         eval_jit = jax.jit(eval_step)
+    if return_raw:
+        return train_jit, eval_jit, train_step, eval_step
     return train_jit, eval_jit
+
+
+def make_fused_fns(raw_step_fns):
+    """Jitted per-bucket-group epoch runners over a device-resident cache.
+
+    Each call runs a whole group of same-shape batches as one
+    ``lax.scan``: gather batch rows from the cached bucket arrays, run the
+    train/eval step, and accumulate loss + token-error sums — all on
+    device, ONE dispatch per group instead of one per batch.  This is the
+    TPU answer to the dispatch-latency bound on the device-cached epoch
+    rate (docs/KERNELS.md "Input pipeline on tunneled devices"): the host
+    leaves the hot path entirely.
+
+    Per-batch numerics are identical to the streaming path: the same
+    gathers, the same frac contract (``in_len / t_pad``,
+    ``train_ctc.py:46``), and the same per-step dropout keys
+    (``train_step`` folds the key with ``state.step``, which advances
+    identically under the scan).
+    """
+    train_step, eval_step = raw_step_fns
+
+    def _gather_batch(feats_all, labels_all, inlen_all, lablen_all, p,
+                      t_pad: int):
+        feats = jnp.take(feats_all, p, axis=0)[:, :t_pad]
+        labels = jnp.take(labels_all, p, axis=0)
+        in_len = jnp.take(inlen_all, p, axis=0)
+        lab_len = jnp.take(lablen_all, p, axis=0)
+        frac = in_len.astype(jnp.float32) / jnp.float32(t_pad)
+        return feats, frac, labels, lab_len
+
+    def fused_train(state, feats_all, labels_all, inlen_all, lablen_all,
+                    pos, mask, rng, t_pad: int, compute_wer: bool):
+        def body(carry, xs):
+            st, errs, toks = carry
+            p, m = xs
+            feats, frac, labels, lab_len = _gather_batch(
+                feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
+            st, loss, greedy_idx, input_sizes = train_step(
+                st, feats, frac, labels, lab_len, m, rng)
+            if compute_wer:
+                e, t = _device_token_errors(
+                    greedy_idx, input_sizes, labels, lab_len, m)
+                errs, toks = errs + e, toks + t
+            return (st, errs, toks), loss
+
+        zero = jnp.zeros((), jnp.int32)
+        (state, errs, toks), losses = jax.lax.scan(
+            body, (state, zero, zero), (pos, mask))
+        return state, losses, errs, toks
+
+    def fused_eval(state, feats_all, labels_all, inlen_all, lablen_all,
+                   pos, mask, t_pad: int, compute_wer: bool):
+        def body(carry, xs):
+            errs, toks = carry
+            p, m = xs
+            feats, frac, labels, lab_len = _gather_batch(
+                feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
+            loss, greedy_idx, input_sizes, _ = eval_step(
+                state, feats, frac, labels, lab_len, m)
+            if compute_wer:
+                e, t = _device_token_errors(
+                    greedy_idx, input_sizes, labels, lab_len, m)
+                errs, toks = errs + e, toks + t
+            return (errs, toks), loss
+
+        zero = jnp.zeros((), jnp.int32)
+        (errs, toks), losses = jax.lax.scan(body, (zero, zero), (pos, mask))
+        return losses, errs, toks
+
+    return (
+        jax.jit(fused_train, static_argnums=(8, 9), donate_argnums=(0,)),
+        jax.jit(fused_eval, static_argnums=(7, 8)),
+    )
+
+
+def run_epoch_fused(
+    epoch_id: int,
+    fused_fns,
+    state: TrainState,
+    loader,
+    *,
+    training: bool,
+    rng: Optional[jax.Array] = None,
+    compute_wer: bool = True,
+    log=print,
+) -> Tuple[TrainState, float, float]:
+    """`run_epoch` over a ``DeviceCachedLoader`` with one dispatch per
+    bucket group (``epoch_groups``); same return contract.  Progress is
+    logged per group (the host only sees group boundaries)."""
+    fused_train, fused_eval = fused_fns
+    loss_sum = 0.0
+    n_batches = 0
+    errs = toks = 0
+    for arrs, pos, mask, t_pad in loader.epoch_groups(loader.epoch):
+        args = (arrs["feats"], arrs["labels"], arrs["in_len"],
+                arrs["lab_len"], jnp.asarray(pos), jnp.asarray(mask))
+        if training:
+            state, losses, e, t = fused_train(
+                state, *args, rng, t_pad, compute_wer)
+        else:
+            losses, e, t = fused_eval(state, *args, t_pad, compute_wer)
+        k = pos.shape[0]
+        vals = np.asarray(losses)
+        loss_sum += float(vals.sum())
+        n_batches += k
+        errs += int(e)
+        toks += int(t)
+        if training:
+            log(
+                f"Epoch = {epoch_id}, step = {n_batches}, "
+                f"cur_loss = {float(vals.mean()):.4f}, "
+                f"total_loss = {loss_sum / n_batches:.4f}, "
+                f"total_wer = {errs / (toks + 1e-9):.4f}"
+            )
+    avg_loss = loss_sum / max(n_batches, 1)
+    acc = 1.0 - errs / (toks + 1e-9)
+    tag = "Train" if training else "Valid"
+    log(f"Epoch {epoch_id} {tag} done, total_loss: {avg_loss:.4f}, "
+        f"total_wer: {1.0 - acc:.4f}")
+    return state, acc, avg_loss
 
 
 @jax.jit
@@ -265,9 +388,19 @@ class Trainer:
             from ctc_pytorch_tpu.parallel import replicate
 
             self.state = replicate(self.state, mesh)
-        self.step_fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis,
-                                      frontend_fn=frontend_fn,
-                                      ctc_impl=cfg.ctc_impl)
+        fns = make_step_fns(spec, self.tx, mesh, cfg.data_axis,
+                            frontend_fn=frontend_fn,
+                            ctc_impl=cfg.ctc_impl, return_raw=True)
+        self.step_fns = fns[:2]
+        # fused per-bucket-group epoch runners (cfg.fused_epoch): host
+        # dispatch leaves the hot path; waveform-in (frontend inside the
+        # step rewrites frac semantics) and mesh (sharded gathers live in
+        # DeviceCachedLoader._gather) stay on the streaming path
+        self.fused_fns = (
+            make_fused_fns(fns[2:])
+            if cfg.fused_epoch and mesh is None and frontend_fn is None
+            else None
+        )
         self.scheduler = PlateauScheduler(
             end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay,
             mode=cfg.scheduler_mode,
@@ -308,18 +441,36 @@ class Trainer:
             wf = self.frontend_fn is not None
             from ctc_pytorch_tpu.train.metrics_log import profile_ctx
 
+            fuse_train = self.fused_fns is not None and hasattr(
+                train_loader, "epoch_groups")
+            fuse_dev = self.fused_fns is not None and hasattr(
+                dev_loader, "epoch_groups")
             with profile_ctx(cfg.profile and self.epoch == 1,
                              self.out_dir / "profile"):
-                self.state, train_acc, train_loss = run_epoch(
-                    self.epoch, self.step_fns, self.state, train_loader,
-                    training=True, rng=self.dropout_key,
-                    print_every=cfg.verbose_step, compute_wer=compute_wer,
-                    waveform=wf, log=log,
+                if fuse_train:
+                    self.state, train_acc, train_loss = run_epoch_fused(
+                        self.epoch, self.fused_fns, self.state, train_loader,
+                        training=True, rng=self.dropout_key,
+                        compute_wer=compute_wer, log=log,
+                    )
+                else:
+                    self.state, train_acc, train_loss = run_epoch(
+                        self.epoch, self.step_fns, self.state, train_loader,
+                        training=True, rng=self.dropout_key,
+                        print_every=cfg.verbose_step, compute_wer=compute_wer,
+                        waveform=wf, log=log,
+                    )
+            if fuse_dev:
+                _, dev_acc, dev_loss = run_epoch_fused(
+                    self.epoch, self.fused_fns, self.state, dev_loader,
+                    training=False, compute_wer=compute_wer, log=log,
                 )
-            _, dev_acc, dev_loss = run_epoch(
-                self.epoch, self.step_fns, self.state, dev_loader,
-                training=False, compute_wer=compute_wer, waveform=wf, log=log,
-            )
+            else:
+                _, dev_acc, dev_loss = run_epoch(
+                    self.epoch, self.step_fns, self.state, dev_loader,
+                    training=False, compute_wer=compute_wer, waveform=wf,
+                    log=log,
+                )
             self.histories["loss_results"].append(train_loss)
             self.histories["dev_loss_results"].append(dev_loss)
             self.histories["dev_cer_results"].append(dev_acc)

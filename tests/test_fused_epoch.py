@@ -1,0 +1,179 @@
+"""Fused multi-step epochs over the device cache.
+
+`run_epoch_fused` runs each bucket-shape group of an epoch as ONE jitted
+lax.scan (gather + step + metric accumulation on device), so the host
+dispatches O(buckets) calls instead of O(batches).  These tests pin:
+
+- `DeviceCachedLoader.epoch_groups` covers exactly the batches `__iter__`
+  yields (same composition, grouped order);
+- a single-bucket corpus (grouped order == streaming order) trains to the
+  SAME final params / loss / token-error as the streaming `run_epoch`;
+- the multi-bucket fused path stays finite and counts every batch;
+- `Trainer` picks the fused path when `cfg.fused_epoch` is set.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctc_pytorch_tpu.config import CNNConfig, Config
+from ctc_pytorch_tpu.data.batching import DeviceCachedLoader, SpeechDataLoader
+from ctc_pytorch_tpu.data.dataset import SpeechDataset
+from ctc_pytorch_tpu.data.kaldi_io import ArkWriter
+from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+from ctc_pytorch_tpu.train.loop import (
+    make_fused_fns,
+    make_step_fns,
+    run_epoch,
+    run_epoch_fused,
+)
+from ctc_pytorch_tpu.train.state import create_train_state
+from ctc_pytorch_tpu.vocab import Vocab
+
+
+def _corpus(tmp_path, n=14, dim=7, varied=True, seed=0):
+    rng = np.random.RandomState(seed)
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+    with ArkWriter(ark, scp) as w:
+        for i in range(n):
+            t = 20 + (rng.randint(50) if varied else 0)
+            w.write(f"u{i:02d}", rng.randn(t, dim).astype(np.float32))
+    (tmp_path / "units").write_text("a\nb\nc\n")
+    with open(tmp_path / "lab", "w") as f:
+        for i in range(n):
+            f.write(f"u{i:02d} " + " ".join(rng.choice(["a", "b", "c"], 3))
+                    + "\n")
+    cfg = Config()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.left_ctx = cfg.right_ctx = 0
+    cfg.n_skip_frame = cfg.n_downsample = 1
+    cfg.rnn_input_size = dim
+    cfg.rnn_hidden_size = 16
+    cfg.rnn_layers = 2
+    cfg.drop_out = 0.0
+    cfg.dtype = "float32"
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, scp, str(tmp_path / "lab"), cfg)
+    return cfg, vocab, ds
+
+
+def _loader(ds, batch=4, buckets=1, mode="bucket", seed=7):
+    return DeviceCachedLoader(
+        SpeechDataLoader(ds, batch, shuffle=True, num_buckets=buckets,
+                         seed=seed, mode=mode)
+    )
+
+
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_epoch_groups_cover_iter_batches(tmp_path, mode):
+    _, _, ds = _corpus(tmp_path)
+    dev = _loader(ds, buckets=3, mode=mode)
+    for epoch in (0, 1):
+        dev.set_epoch(epoch)
+        streamed = list(dev)
+        grouped = []
+        for arrs, pos, mask, t_pad in dev.epoch_groups(epoch):
+            assert pos.shape == mask.shape
+            for k in range(pos.shape[0]):
+                feats = np.asarray(arrs["feats"])[pos[k]][:, :t_pad]
+                labels = np.asarray(arrs["labels"])[pos[k]]
+                grouped.append((feats.tobytes(), labels.tobytes(),
+                                mask[k].tobytes()))
+        keys = [(np.asarray(b.feats).tobytes(),
+                 np.asarray(b.labels).tobytes(),
+                 np.asarray(b.example_mask, np.float32).tobytes())
+                for b in streamed]
+        assert sorted(grouped) == sorted(keys)
+
+
+def _state_and_fns(cfg, num_class=5, seed=0):
+    spec = ModelSpec.from_config(cfg, num_class=num_class)
+    state, tx = create_train_state(
+        jax.random.PRNGKey(seed), spec, cfg.init_lr, cfg.weight_decay)
+    fns = make_step_fns(spec, tx, return_raw=True)
+    return spec, state, fns
+
+
+def test_fused_matches_streaming_single_bucket(tmp_path):
+    """One bucket => grouped order == streaming order => identical run."""
+    cfg, _, ds = _corpus(tmp_path, varied=False)
+    cfg.init_lr = 5e-3
+    dev_a = _loader(ds, buckets=1)
+    dev_b = _loader(ds, buckets=1)
+    _, state0, fns = _state_and_fns(cfg)
+    fused = make_fused_fns(fns[2:])
+    rng = jax.random.PRNGKey(3)
+
+    dev_a.set_epoch(1)
+    st_s = jax.tree_util.tree_map(jnp.copy, state0)
+    st_s, acc_s, loss_s = run_epoch(
+        1, fns[:2], st_s, dev_a, training=True, rng=rng,
+        log=lambda *a, **k: None)
+
+    dev_b.set_epoch(1)
+    st_f, acc_f, loss_f = run_epoch_fused(
+        1, fused, state0, dev_b, training=True, rng=rng,
+        log=lambda *a, **k: None)
+
+    assert loss_f == pytest.approx(loss_s, rel=1e-5)
+    assert acc_f == pytest.approx(acc_s, abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                    jax.tree_util.tree_leaves(st_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # eval side: same loss/acc from the fused eval runner
+    dev_a.set_epoch(0)
+    _, acc_es, loss_es = run_epoch(
+        0, fns[:2], st_s, dev_a, training=False, log=lambda *a, **k: None)
+    dev_b.set_epoch(0)
+    _, acc_ef, loss_ef = run_epoch_fused(
+        0, fused, st_f, dev_b, training=False, log=lambda *a, **k: None)
+    assert loss_ef == pytest.approx(loss_es, rel=1e-5)
+    assert acc_ef == pytest.approx(acc_es, abs=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_fused_multibucket_trains(tmp_path, mode):
+    cfg, _, ds = _corpus(tmp_path)
+    dev = _loader(ds, buckets=3, mode=mode)
+    _, state, fns = _state_and_fns(cfg)
+    fused = make_fused_fns(fns[2:])
+    dev.set_epoch(1)
+    n_exp = len(dev)
+    logs = []
+    state, acc, loss = run_epoch_fused(
+        1, fused, state, dev, training=True, rng=jax.random.PRNGKey(0),
+        log=logs.append)
+    # acc = 1 - errs/tokens can go negative for an untrained model
+    # (insertions make edit distance exceed the label count)
+    assert np.isfinite(loss) and np.isfinite(acc) and acc <= 1.0
+    assert f"step = {n_exp}" in logs[-2]  # every batch counted
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_trainer_uses_fused_path(tmp_path, monkeypatch):
+    cfg, _, ds = _corpus(tmp_path, varied=False)
+    cfg.fused_epoch = True
+    cfg.num_epoches = 1
+    cfg.least_train_epoch = 0
+    cfg.save_every = 0
+    spec = ModelSpec.from_config(cfg, num_class=5)
+    from ctc_pytorch_tpu.train import loop as loop_mod
+
+    calls = {"fused": 0}
+    orig = loop_mod.run_epoch_fused
+
+    def spy(*a, **k):
+        calls["fused"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "run_epoch_fused", spy)
+    tr = loop_mod.Trainer(cfg, spec, out_dir=str(tmp_path / "out"))
+    assert tr.fused_fns is not None
+    tr.fit(_loader(ds), _loader(ds), num_epoches=1,
+           log=lambda *a, **k: None)
+    assert calls["fused"] == 2  # train + dev epoch
