@@ -3,8 +3,9 @@
 The reference pipes every TIMIT utterance through sph2pipe
 (``timit/local/timit_data_prep.sh:18,52``); this is I/O, not compute, so a
 host-side reader suffices (SURVEY.md §2.2).  Handles the TIMIT encoding
-(1024-byte ASCII header, 16-bit linear PCM, optional shorten compression is
-NOT supported — TIMIT distributions are uncompressed or pre-converted).
+(1024-byte ASCII header, 16-bit linear PCM) including
+``embedded-shorten-v*`` compressed payloads (the stock LDC distribution
+format) via the pure-python shorten decoder in ``prep/shorten.py``.
 Also reads plain RIFF/WAVE files so prepared corpora work unchanged.
 """
 
@@ -34,12 +35,15 @@ def read_sphere(path: str | Path) -> Tuple[np.ndarray, int]:
     n_bytes = int(fields.get("sample_n_bytes", 2))
     coding = fields.get("sample_coding", "pcm")
     byte_format = fields.get("sample_byte_format", "01")
-    if "shorten" in coding:
-        raise NotImplementedError(
-            f"{path}: shorten-compressed SPHERE not supported; convert once "
-            "with 'sph2pipe -f wav' or use a decompressed distribution"
-        )
     raw = data[header_size:]
+    if "shorten" in coding:
+        from ctc_pytorch_tpu.data.prep.shorten import decode_shorten
+
+        n = int(fields["sample_count"]) if "sample_count" in fields else None
+        samples, _ = decode_shorten(raw, max_samples=n)
+        if int(fields.get("channel_count", 1)) > 1 and samples.ndim > 1:
+            samples = samples.mean(axis=1)
+        return np.clip(samples, -32768, 32767).astype(np.int16), rate
     if n_bytes == 2:
         dtype = "<i2" if byte_format == "01" else ">i2"
         samples = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype=dtype)
