@@ -159,7 +159,7 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
     return train_jit, eval_jit
 
 
-def make_fused_fns(raw_step_fns):
+def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data"):
     """Jitted per-bucket-group epoch runners over a device-resident cache.
 
     Each call runs a whole group of same-shape batches as one
@@ -170,13 +170,30 @@ def make_fused_fns(raw_step_fns):
     rate (docs/KERNELS.md "Input pipeline on tunneled devices"): the host
     leaves the hot path entirely.
 
-    Per-batch numerics are identical to the streaming path: the same
-    gathers, the same frac contract (``in_len / t_pad``,
-    ``train_ctc.py:46``), and the same per-step dropout keys
-    (``train_step`` folds the key with ``state.step``, which advances
-    identically under the scan).
+    Per-batch numerics are identical to the streaming path *given the same
+    incoming state*: the same gathers, the same frac contract
+    (``in_len / t_pad``, ``train_ctc.py:46``), and the same per-step
+    dropout keys (``train_step`` folds the key with ``state.step``, which
+    advances identically under the scan).  Across an epoch with multiple
+    bucket shapes only batch ORDER differs (batches are grouped by shape,
+    within-group order preserved), so the optimizer visits groups in
+    blocks — the single-bucket case is bit-comparable end to end.
+
+    Group lengths are padded to powers of two with ``valid``-masked no-op
+    iterations (``lax.cond`` skips the whole step, so state/step-count/
+    dropout keys are untouched): in ``quantized`` batch mode the per-epoch
+    shuffle changes each group's batch count, and without canonicalisation
+    every epoch would recompile the full train program per (t_pad, count).
+
+    With a ``mesh``, the whole fused epoch runs under ``shard_map``: bucket
+    arrays arrive replicated (``DeviceCachedLoader(mesh=...)`` places them
+    so), ``pos``/``mask`` are sharded over the batch axis so each device
+    gathers and computes its own rows, and the loss/grad psums inside the
+    raw step plus a final errs/toks psum are the only collectives — the
+    same math as the streaming mesh path.
     """
     train_step, eval_step = raw_step_fns
+    axis = data_axis if mesh is not None else None
 
     def _gather_batch(feats_all, labels_all, inlen_all, lablen_all, p,
                       t_pad: int):
@@ -188,48 +205,127 @@ def make_fused_fns(raw_step_fns):
         return feats, frac, labels, lab_len
 
     def fused_train(state, feats_all, labels_all, inlen_all, lablen_all,
-                    pos, mask, rng, t_pad: int, compute_wer: bool):
+                    pos, mask, valid, rng, t_pad: int, compute_wer: bool):
         def body(carry, xs):
-            st, errs, toks = carry
-            p, m = xs
-            feats, frac, labels, lab_len = _gather_batch(
-                feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
-            st, loss, greedy_idx, input_sizes = train_step(
-                st, feats, frac, labels, lab_len, m, rng)
-            if compute_wer:
-                e, t = _device_token_errors(
-                    greedy_idx, input_sizes, labels, lab_len, m)
-                errs, toks = errs + e, toks + t
-            return (st, errs, toks), loss
+            p, m, v = xs
+
+            def run(c):
+                st, errs, toks = c
+                feats, frac, labels, lab_len = _gather_batch(
+                    feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
+                st, loss, greedy_idx, input_sizes = train_step(
+                    st, feats, frac, labels, lab_len, m, rng)
+                if compute_wer:
+                    e, t = _device_token_errors(
+                        greedy_idx, input_sizes, labels, lab_len, m)
+                    errs, toks = errs + e, toks + t
+                return (st, errs, toks), loss
+
+            def skip(c):
+                return c, jnp.zeros((), jnp.float32)
+
+            # `valid` is replicated, so every shard takes the same branch
+            # and the collectives inside train_step stay in lockstep.
+            return jax.lax.cond(v, run, skip, carry)
 
         zero = jnp.zeros((), jnp.int32)
         (state, errs, toks), losses = jax.lax.scan(
-            body, (state, zero, zero), (pos, mask))
+            body, (state, zero, zero), (pos, mask, valid))
+        if axis is not None:
+            errs = jax.lax.psum(errs, axis)
+            toks = jax.lax.psum(toks, axis)
         return state, losses, errs, toks
 
     def fused_eval(state, feats_all, labels_all, inlen_all, lablen_all,
-                   pos, mask, t_pad: int, compute_wer: bool):
+                   pos, mask, valid, t_pad: int, compute_wer: bool):
         def body(carry, xs):
-            errs, toks = carry
-            p, m = xs
-            feats, frac, labels, lab_len = _gather_batch(
-                feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
-            loss, greedy_idx, input_sizes, _ = eval_step(
-                state, feats, frac, labels, lab_len, m)
-            if compute_wer:
-                e, t = _device_token_errors(
-                    greedy_idx, input_sizes, labels, lab_len, m)
-                errs, toks = errs + e, toks + t
-            return (errs, toks), loss
+            p, m, v = xs
+
+            def run(c):
+                errs, toks = c
+                feats, frac, labels, lab_len = _gather_batch(
+                    feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
+                loss, greedy_idx, input_sizes, _ = eval_step(
+                    state, feats, frac, labels, lab_len, m)
+                if compute_wer:
+                    e, t = _device_token_errors(
+                        greedy_idx, input_sizes, labels, lab_len, m)
+                    errs, toks = errs + e, toks + t
+                return (errs, toks), loss
+
+            def skip(c):
+                return c, jnp.zeros((), jnp.float32)
+
+            return jax.lax.cond(v, run, skip, carry)
 
         zero = jnp.zeros((), jnp.int32)
-        (errs, toks), losses = jax.lax.scan(body, (zero, zero), (pos, mask))
+        (errs, toks), losses = jax.lax.scan(
+            body, (zero, zero), (pos, mask, valid))
+        if axis is not None:
+            errs = jax.lax.psum(errs, axis)
+            toks = jax.lax.psum(toks, axis)
         return losses, errs, toks
 
+    if mesh is None:
+        return (
+            jax.jit(fused_train, static_argnums=(9, 10),
+                    donate_argnums=(0,)),
+            jax.jit(fused_eval, static_argnums=(8, 9)),
+        )
+
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from ctc_pytorch_tpu.parallel.mesh import shard_map_compat
+
+    repl, rows = P(), P(None, data_axis)
+
+    def train_outer(state, feats_all, labels_all, inlen_all, lablen_all,
+                    pos, mask, valid, rng, t_pad: int, compute_wer: bool):
+        f = functools.partial(fused_train, t_pad=t_pad,
+                              compute_wer=compute_wer)
+        f = shard_map_compat(
+            f, mesh,
+            in_specs=(repl, repl, repl, repl, repl, rows, rows, repl, repl),
+            out_specs=(repl, repl, repl, repl),
+        )
+        return f(state, feats_all, labels_all, inlen_all, lablen_all, pos,
+                 mask, valid, rng)
+
+    def eval_outer(state, feats_all, labels_all, inlen_all, lablen_all,
+                   pos, mask, valid, t_pad: int, compute_wer: bool):
+        f = functools.partial(fused_eval, t_pad=t_pad,
+                              compute_wer=compute_wer)
+        f = shard_map_compat(
+            f, mesh,
+            in_specs=(repl, repl, repl, repl, repl, rows, rows, repl),
+            out_specs=(repl, repl, repl),
+        )
+        return f(state, feats_all, labels_all, inlen_all, lablen_all, pos,
+                 mask, valid)
+
     return (
-        jax.jit(fused_train, static_argnums=(8, 9), donate_argnums=(0,)),
-        jax.jit(fused_eval, static_argnums=(7, 8)),
+        jax.jit(train_outer, static_argnums=(9, 10), donate_argnums=(0,)),
+        jax.jit(eval_outer, static_argnums=(8, 9)),
     )
+
+
+def _pad_group(pos: np.ndarray, mask: np.ndarray):
+    """Pad a group's (n, B) pos/mask to the next power-of-two n with
+    valid=False rows, so quantized-mode epochs reuse a small compiled set
+    of scan lengths instead of recompiling per (t_pad, count)."""
+    k = pos.shape[0]
+    n = 1 << max(k - 1, 0).bit_length()
+    valid = np.zeros((n,), bool)
+    valid[:k] = True
+    if n == k:
+        return pos, mask, valid
+    pad = n - k
+    pos = np.concatenate([pos, np.repeat(pos[-1:], pad, axis=0)])
+    mask = np.concatenate(
+        [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+    return pos, mask, valid
 
 
 def run_epoch_fused(
@@ -245,21 +341,24 @@ def run_epoch_fused(
 ) -> Tuple[TrainState, float, float]:
     """`run_epoch` over a ``DeviceCachedLoader`` with one dispatch per
     bucket group (``epoch_groups``); same return contract.  Progress is
-    logged per group (the host only sees group boundaries)."""
+    logged once per GROUP, not per ``verbose_step`` batches — the host
+    only sees group boundaries (one to a few lines per epoch)."""
     fused_train, fused_eval = fused_fns
     loss_sum = 0.0
     n_batches = 0
     errs = toks = 0
     for arrs, pos, mask, t_pad in loader.epoch_groups(loader.epoch):
+        k = pos.shape[0]
+        pos, mask, valid = _pad_group(pos, mask)
         args = (arrs["feats"], arrs["labels"], arrs["in_len"],
-                arrs["lab_len"], jnp.asarray(pos), jnp.asarray(mask))
+                arrs["lab_len"], jnp.asarray(pos), jnp.asarray(mask),
+                jnp.asarray(valid))
         if training:
             state, losses, e, t = fused_train(
                 state, *args, rng, t_pad, compute_wer)
         else:
             losses, e, t = fused_eval(state, *args, t_pad, compute_wer)
-        k = pos.shape[0]
-        vals = np.asarray(losses)
+        vals = np.asarray(losses)[:k]
         loss_sum += float(vals.sum())
         n_batches += k
         errs += int(e)
@@ -393,12 +492,14 @@ class Trainer:
                             ctc_impl=cfg.ctc_impl, return_raw=True)
         self.step_fns = fns[:2]
         # fused per-bucket-group epoch runners (cfg.fused_epoch): host
-        # dispatch leaves the hot path; waveform-in (frontend inside the
-        # step rewrites frac semantics) and mesh (sharded gathers live in
-        # DeviceCachedLoader._gather) stay on the streaming path
+        # dispatch leaves the hot path.  Composes with a data mesh (the
+        # fused scan runs under shard_map, pos/mask batch-sharded);
+        # waveform-in stays streaming (the frontend inside the step
+        # rewrites the frac slot to sample counts, which the cached
+        # gather contract does not carry).
         self.fused_fns = (
-            make_fused_fns(fns[2:])
-            if cfg.fused_epoch and mesh is None and frontend_fn is None
+            make_fused_fns(fns[2:], mesh, cfg.data_axis)
+            if cfg.fused_epoch and frontend_fn is None
             else None
         )
         self.scheduler = PlateauScheduler(
@@ -445,6 +546,15 @@ class Trainer:
                 train_loader, "epoch_groups")
             fuse_dev = self.fused_fns is not None and hasattr(
                 dev_loader, "epoch_groups")
+            if cfg.fused_epoch and not fuse_train and self.epoch == 1:
+                reason = (
+                    "waveform frontend_fn rewrites the frac contract "
+                    "inside the step" if self.frontend_fn is not None else
+                    f"{type(train_loader).__name__} has no epoch_groups "
+                    "(a DeviceCachedLoader is required)"
+                )
+                log(f"fused_epoch requested but running the streaming "
+                    f"path: {reason}")
             with profile_ctx(cfg.profile and self.epoch == 1,
                              self.out_dir / "profile"):
                 if fuse_train:

@@ -155,6 +155,74 @@ def test_fused_multibucket_trains(tmp_path, mode):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_fused_mesh_matches_single_device(tmp_path, mode):
+    """The shard_map'd fused epoch on a 4-device data mesh produces the
+    same losses and updated params as single-device fused (the loss/grad
+    psums reduce the same per-batch math)."""
+    from ctc_pytorch_tpu.parallel import make_mesh, replicate
+
+    cfg, _, ds = _corpus(tmp_path)
+    cfg.init_lr = 5e-3
+    _, state0, fns_sd = _state_and_fns(cfg)
+    fused_sd = make_fused_fns(fns_sd[2:])
+
+    mesh = make_mesh(jax.devices()[:4])
+    spec = ModelSpec.from_config(cfg, num_class=5)
+    state_m, tx = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay)
+    state_m = replicate(state_m, mesh)
+    fns_m = make_step_fns(spec, tx, mesh=mesh, return_raw=True)
+    fused_m = make_fused_fns(fns_m[2:], mesh)
+
+    rng = jax.random.PRNGKey(3)
+    dev_sd = _loader(ds, buckets=3, mode=mode)
+    dev_m = DeviceCachedLoader(
+        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7,
+                         mode=mode),
+        mesh=mesh,
+    )
+    dev_sd.set_epoch(1)
+    dev_m.set_epoch(1)
+    st_s, acc_s, loss_s = run_epoch_fused(
+        1, fused_sd, state0, dev_sd, training=True, rng=rng,
+        log=lambda *a, **k: None)
+    st_m, acc_m, loss_m = run_epoch_fused(
+        1, fused_m, state_m, dev_m, training=True, rng=rng,
+        log=lambda *a, **k: None)
+    assert loss_m == pytest.approx(loss_s, rel=1e-5)
+    assert acc_m == pytest.approx(acc_s, abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                    jax.tree_util.tree_leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # eval: fused mesh eval == fused single-device eval on the new state
+    dev_sd.set_epoch(0)
+    dev_m.set_epoch(0)
+    _, acc_es, loss_es = run_epoch_fused(
+        0, fused_sd, st_s, dev_sd, training=False, log=lambda *a, **k: None)
+    _, acc_em, loss_em = run_epoch_fused(
+        0, fused_m, st_m, dev_m, training=False, log=lambda *a, **k: None)
+    assert loss_em == pytest.approx(loss_es, rel=1e-5)
+    assert acc_em == pytest.approx(acc_es, abs=1e-6)
+
+
+def test_pad_group_canonical_lengths():
+    """Group padding caps the compiled scan-length set at powers of two
+    and marks padded rows invalid (the cond no-op keeps numerics exact)."""
+    from ctc_pytorch_tpu.train.loop import _pad_group
+
+    for k, expect in [(1, 1), (2, 2), (3, 4), (5, 8), (8, 8), (13, 16)]:
+        pos = np.arange(k * 4, dtype=np.int32).reshape(k, 4)
+        mask = np.ones((k, 4), np.float32)
+        p2, m2, v = _pad_group(pos, mask)
+        assert p2.shape[0] == m2.shape[0] == v.shape[0] == expect
+        assert v[:k].all() and not v[k:].any()
+        np.testing.assert_array_equal(p2[:k], pos)
+        assert (m2[k:] == 0).all()
+
+
 def test_trainer_uses_fused_path(tmp_path, monkeypatch):
     cfg, _, ds = _corpus(tmp_path, varied=False)
     cfg.fused_epoch = True
