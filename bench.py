@@ -429,12 +429,16 @@ def bench_epoch(only: "set | None" = None) -> dict:
         if only is not None and suffix not in only:
             continue
         # a warm pass per variant: compute_wer toggles the per-step greedy
-        # decode, i.e. a different jitted program per bucket shape
-        state, _, _ = run_epoch(0, step_fns, state, ld, training=True,
+        # decode, i.e. a different jitted program per bucket shape.  The
+        # timed pass runs a DIFFERENT epoch (new shuffle) — honest about
+        # any per-epoch recompiles a path would pay in real training.
+        ld.set_epoch(1)
+        state, _, _ = run_epoch(1, step_fns, state, ld, training=True,
                                 rng=rng, compute_wer=wer_on,
                                 log=lambda *a: None)
+        ld.set_epoch(2)
         t0 = _time.perf_counter()
-        state, _, loss = run_epoch(1, step_fns, state, ld, training=True,
+        state, _, loss = run_epoch(2, step_fns, state, ld, training=True,
                                    rng=rng, compute_wer=wer_on,
                                    log=lambda *a: None)
         dt = _time.perf_counter() - t0
@@ -447,16 +451,33 @@ def bench_epoch(only: "set | None" = None) -> dict:
     for suffix, wer_on in [("_fused", True), ("_fused_nower", False)]:
         if only is not None and suffix not in only:
             continue
-        state, _, _ = run_epoch_fused(0, fused_fns, state, cached,
-                                      training=True, rng=rng,
-                                      compute_wer=wer_on, log=lambda *a: None)
+        # two warm epochs cover the power-of-two group-length set the
+        # quantized shuffle produces; the timed epoch is a third shuffle
+        for ep in (1, 2):
+            cached.set_epoch(ep)
+            state, _, _ = run_epoch_fused(ep, fused_fns, state, cached,
+                                          training=True, rng=rng,
+                                          compute_wer=wer_on,
+                                          log=lambda *a: None)
+        cached.set_epoch(3)
         t0 = _time.perf_counter()
-        state, _, loss = run_epoch_fused(1, fused_fns, state, cached,
+        state, _, loss = run_epoch_fused(3, fused_fns, state, cached,
                                          training=True, rng=rng,
                                          compute_wer=wer_on,
                                          log=lambda *a: None)
         dt = _time.perf_counter() - t0
         out["epoch_utts_per_sec" + suffix] = n_utts / dt
+    if only is None or any(s.startswith("_fused") or s == "_devcache_nower"
+                           for s in (only or ())):
+        # mean padded T of the epoch's batches: the step-rate bench runs at
+        # T=160, so the per-utt FLOP ratio mean_t_pad/160 is the honest
+        # scale factor when comparing epoch rate to step rate
+        t_pads, counts = [], 0
+        for _idx, t_pad, _l in loader.batcher.epoch_batches(2):
+            t_pads.append(t_pad)
+            counts += 1
+        out["epoch_mean_t_pad"] = float(np.mean(t_pads))
+        out["epoch_n_batches"] = counts
     if only is not None and "stage4" not in only:
         out["corpus_utts"] = n_utts
         return out
@@ -483,6 +504,99 @@ def bench_epoch(only: "set | None" = None) -> dict:
         decode_s = _time.perf_counter() - t0
     out["stage4_greedy_rtf"] = decode_s / max(total_audio, 1e-9)
     out["corpus_utts"] = n_utts
+    return out
+
+
+def bench_waveform(steps: int = 20, warmup: int = 4) -> dict:
+    """Waveform-in end-to-end throughput (BASELINE north-star config #5):
+    raw 16 kHz samples -> fused on-device frontend (fbank 81 -> splice 243
+    -> skip 2) -> 4x BiLSTM(384) -> CTC, one jitted train step
+    (``recipes/timit/waveform_config.yaml``; the host-side original is
+    ``timit/local/make_spectrum.py:54-96``).  Also reports the frontend's
+    share of the step and the same model fed precomputed features."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.frontend.e2e import (
+        WaveFrontendSpec,
+        build_frontend_fn,
+    )
+    from ctc_pytorch_tpu.frontend.features import FrontendConfig
+    from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+    from ctc_pytorch_tpu.train.loop import make_step_fns
+    from ctc_pytorch_tpu.train.state import create_train_state
+
+    b = B
+    s = T * 2 * 160  # T post-skip frames = skip(2) x 10ms shift @16k
+    fe = WaveFrontendSpec(
+        feat_type="fbank", frontend=FrontendConfig(num_mel_bins=80),
+        left_ctx=0, right_ctx=2, n_skip_frame=2, n_downsample=2,
+    )
+    frontend_fn = build_frontend_fn(fe)
+    cfg = Config()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.dtype = "bfloat16"
+    spec = dataclasses.replace(
+        ModelSpec.from_config(cfg, num_class=NUM_CLASS), use_pallas_rnn=True
+    )
+    state, tx = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay
+    )
+    train_jit, _ = make_step_fns(spec, tx, frontend_fn=frontend_fn,
+                                 ctc_impl="pallas")
+    rng = np.random.RandomState(0)
+    wavs = jnp.asarray((rng.randn(b, s) * 3000.0).astype(np.float32))
+    wav_lens = jnp.asarray(np.full(b, int(s * 0.95), np.float32))
+    labels = jnp.asarray(rng.randint(1, NUM_CLASS, size=(b, L)).astype(np.int32))
+    label_lens = jnp.asarray(np.full(b, L, np.int32))
+    mask = jnp.ones((b,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, loss, _, _ = train_jit(state, wavs, wav_lens, labels,
+                                      label_lens, mask, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _, _ = train_jit(state, wavs, wav_lens, labels,
+                                      label_lens, mask, key)
+    float(loss)
+    step_s = (time.perf_counter() - t0) / steps
+    out = {"waveform_train_utts_per_sec": b / step_s}
+
+    # frontend alone (same jit) -> its share of the fused step
+    fe_jit = jax.jit(lambda w, l: frontend_fn(w, l)[0])
+    np.asarray(fe_jit(wavs, wav_lens))  # warm + sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        f = fe_jit(wavs, wav_lens)
+    np.asarray(f)
+    fe_s = (time.perf_counter() - t0) / steps
+    out["waveform_frontend_ms_per_step"] = fe_s * 1e3
+    out["waveform_frontend_share"] = fe_s / step_s
+
+    # the same model on precomputed features (the offline-feature flagship
+    # minus its CNN): the fused-frontend overhead vs feature-input training
+    state2, tx2 = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay
+    )
+    train2, _ = make_step_fns(spec, tx2, ctc_impl="pallas")
+    feats = jnp.asarray(rng.randn(b, T, F).astype(np.float32))
+    frac = jnp.asarray(np.full(b, 0.95, np.float32))
+    for _ in range(warmup):
+        state2, loss2, _, _ = train2(state2, feats, frac, labels,
+                                     label_lens, mask, key)
+    float(loss2)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state2, loss2, _, _ = train2(state2, feats, frac, labels,
+                                     label_lens, mask, key)
+    float(loss2)
+    out["waveform_offline_equiv_utts_per_sec"] = (
+        steps * b / (time.perf_counter() - t0)
+    )
     return out
 
 
@@ -572,6 +686,7 @@ def main(extra: bool = False) -> None:
         extras = bench_decode_rtf()
         extras.update(bench_863_beam())
         extras.update(bench_epoch())
+        extras.update(bench_waveform())
         for cell in ("lstm", "gru"):
             rate = bench_863(cell)
             extras[f"train_863_cnn_{cell}_utts_per_sec"] = rate

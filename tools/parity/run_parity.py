@@ -82,7 +82,7 @@ end_adjust_acc: {hp['band']}
 lr_decay: 0.5
 batch_size: {hp['batch']}
 weight_decay: 0.0005
-seed: 1
+seed: {hp.get('seed', 1)}
 verbose_step: 1000
 decode_type: "Greedy"
 beam_width: 20
@@ -97,11 +97,14 @@ def ours_extra(hp: dict) -> str:
     # reference's exact per-batch-max padding (BN statistics include padded
     # frames on both sides, so overshoot is a real training-dynamics knob:
     # measured ~5.5% at 4 buckets vs ~2.5% at 16 on the hard corpus)
-    return f"""\
+    extra = f"""\
 num_buckets: {hp.get('buckets', 4)}
 dtype: "float32"
 ctc_impl: "scan"
 """
+    if hp.get("fused"):
+        extra += "fused_epoch: True\n"
+    return extra
 
 
 def run(cmd, *, cwd=None, env=None, log_to=None, check=True):
@@ -186,6 +189,11 @@ def main(argv=None):
                     help="run our framework's stages on CPU (hermetic CI)")
     ap.add_argument("--skip-ref-train", action="store_true",
                     help="reuse an existing reference checkpoint")
+    ap.add_argument("--seed", type=int, default=1,
+                    help="training seed for BOTH sides (envelope studies)")
+    ap.add_argument("--fused", action="store_true",
+                    help="train our side with fused_epoch: True (grouped "
+                         "batch-order dynamics check)")
     args = ap.parse_args(argv)
 
     wd = Path(args.workdir).resolve()
@@ -219,6 +227,7 @@ def main(argv=None):
         # at 4) — at this regime padding-in-BN is a measurable dynamics
         # knob (see PARITY_RUN.md bucket study)
         hp.update(band=0.1, epochs=30 if not args.small else 12, buckets=16)
+    hp.update(seed=args.seed, fused=args.fused)
     if args.cnn:
         hp.update(cnn=True, skip=2)
         # frame budget: skip x2 then conv time-stride x2 leaves T/4 output
