@@ -154,7 +154,9 @@ class Config:
     # semantic difference is batch ORDER: batches are grouped by bucket
     # shape (within-group order preserved), so the optimizer visits
     # buckets in blocks rather than interleaved.  Off by default to keep
-    # the reference's exact visiting order.
+    # the reference's exact visiting order; the shipped recipes enable it
+    # (measured 2.4x the streaming epoch rate on the tunneled v5e,
+    # docs/KERNELS.md "Fused epochs").
     fused_epoch: bool = False
     feature_dim: int = 81
     output_class_dim: int = 39
