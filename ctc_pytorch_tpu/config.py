@@ -272,6 +272,7 @@ class Config:
         cnn_names = {f.name for f in dataclasses.fields(CNNConfig)}
         cnn_kwargs: dict = {}
         kwargs: dict = {}
+        unknown: list = []
         for key, value in raw.items():
             k = key.strip()
             if k.startswith("cnn_") and k[4:] in cnn_names:
@@ -281,7 +282,19 @@ class Config:
                 cnn_kwargs[k] = value
             elif k in field_names:
                 kwargs[k] = value
-            # silently ignore unknown keys (reference YAML has duplicates)
+            else:
+                # tolerated (the reference YAML carries stray keys) but
+                # loudly: a typo like `epochs` for `num_epoches` would
+                # otherwise silently train with the 500-epoch default
+                unknown.append(k)
+        if unknown:
+            import warnings
+
+            warnings.warn(
+                f"config: ignoring unknown key(s) {unknown} — check for "
+                "typos (e.g. `num_epoches`, not `epochs`)",
+                stacklevel=2,
+            )
         for pk in ("channel", "kernel_size", "stride", "padding"):
             if pk in cnn_kwargs:
                 cnn_kwargs[pk] = _parse_pairs(cnn_kwargs[pk])

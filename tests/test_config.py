@@ -142,3 +142,19 @@ def test_cnn_per_layer_pooling():
                      drop_out=0.0)
     spec2 = ModelSpec.from_dict(spec.to_dict())
     assert spec2.cnn.pooling == [None, (2, 2)]
+
+
+def test_unknown_key_warns(tmp_path):
+    """Unknown keys are tolerated (the reference YAML carries strays) but
+    warned about — a typo like `epochs` for `num_epoches` must not
+    silently train with the 500-epoch default."""
+    import warnings
+
+    p = tmp_path / "c.yaml"
+    p.write_text("epochs: 3\nrnn_hidden_size: 8\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = load_config(p)
+    assert cfg.rnn_hidden_size == 8
+    assert cfg.num_epoches == 500  # the typo did NOT apply
+    assert any("epochs" in str(x.message) for x in w)
