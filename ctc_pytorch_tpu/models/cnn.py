@@ -76,6 +76,70 @@ def _bn2d(params, state, x, train: bool, momentum=0.1, eps=1e-5,
     return out.astype(x.dtype), new_state
 
 
+def _s2d_conv(x: jnp.ndarray, w_hwio: jnp.ndarray,
+              stride: Tuple[int, int], pad: Tuple[int, int]) -> jnp.ndarray:
+    """Strided conv as space-to-depth + stride-1 conv (same math).
+
+    A near-empty conv (C_in=1, few output channels) leaves the MXU idle:
+    the 863 front (1->16ch, k(11,5), s(2,2)) measured 2.79 ms fwd+bwd as a
+    plain NHWC conv vs 1.32 ms in this formulation (tools/probe_conv863.py,
+    v5e).  Regrouping input taps by stride parity turns the stride-(st,sf)
+    conv over C channels into a stride-1 conv over st*sf*C channels with a
+    kernel of ceil(kt/st) x ceil(kf/sf) taps: identical output (tap weights
+    are permuted, not changed), but the contraction dimension grows by the
+    stride product, filling MXU lanes the original layout wastes.
+
+    y[to,fo,o] = sum_{dt,df,c} x[st*to+dt, sf*fo+df, c] w[dt,df,c,o]; with
+    dt = st*qt + i the tap (dt,df) lands in parity plane (i,j) at kernel
+    position (qt,qf) — each plane is the strided view x[i::st, j::sf].
+    Zero-padding beyond the input only ever meets zero kernel positions or
+    cropped outputs, so no output element changes.
+    """
+    kt, kf, ci, co = w_hwio.shape
+    st, sf = stride
+    if pad != (0, 0):
+        x = jnp.pad(x, ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (0, 0)))
+    bsz, t, f, _ = x.shape
+    to = (t - kt) // st + 1
+    fo = (f - kf) // sf + 1
+    kt2 = -(-kt // st)
+    kf2 = -(-kf // sf)
+    plt_, plf = to + kt2 - 1, fo + kf2 - 1
+    need_t = max(0, st * plt_ - t)
+    need_f = max(0, sf * plf - f)
+    if need_t or need_f:
+        x = jnp.pad(x, ((0, 0), (0, need_t), (0, need_f), (0, 0)))
+    planes = [
+        x[:, i::st, j::sf, :][:, :plt_, :plf, :]
+        for i in range(st) for j in range(sf)
+    ]
+    xs = jnp.concatenate(planes, axis=-1)  # (B, plt, plf, st*sf*ci)
+    kern = jnp.zeros((kt2, kf2, st * sf * ci, co), w_hwio.dtype)
+    for i in range(st):
+        for j in range(sf):
+            sub = w_hwio[i::st, j::sf]  # (taps_t, taps_f, ci, co)
+            g = (i * sf + j) * ci
+            kern = kern.at[: sub.shape[0], : sub.shape[1],
+                           g:g + ci, :].set(sub)
+    return jax.lax.conv_general_dilated(
+        xs, kern, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _use_s2d(stride: Tuple[int, int], kernel: Tuple[int, int],
+             ci: int) -> bool:
+    # pays off when the direct conv's contraction is tiny AND the stride
+    # product buys real lane occupancy.  Measured on v5e
+    # (tools/probe_conv863.py + full-step A/B): the 863 front (ci=1,
+    # k(11,5), s(2,2)) is 2.1x faster standalone and takes the full 863
+    # step 6.90 -> 6.35 ms; the flagship layer 1 (ci=1, k(3,3), s(1,2))
+    # is 3.2x faster STANDALONE but ~1.5% slower in the full flagship
+    # step (XLA fuses the tiny direct conv into its neighbours; the s2d
+    # pad/concat breaks that), so the gate requires a stride product of
+    # at least 4.  Flagship layer 2 (ci=32) is already MXU-busy either way.
+    return stride[0] * stride[1] >= 4 and ci * kernel[0] * kernel[1] <= 64
+
+
 def cnn_stack_init(key, cnn: CNNConfig) -> Tuple[List[Dict], List[Dict]]:
     params, states = [], []
     keys = jax.random.split(key, max(cnn.layers, 1))
@@ -124,13 +188,17 @@ def cnn_stack_apply(
         pad = cnn.padding[i]
         # no preferred_element_type here: its VJP mixes bf16/fp32 operand
         # dtypes and fails; the TPU MXU accumulates bf16 convs in fp32 anyway
-        out = jax.lax.conv_general_dilated(
-            x,
-            p["w"].astype(compute_dtype).transpose(2, 3, 1, 0),  # OIHW->HWIO
-            window_strides=stride,
-            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        w_hwio = p["w"].astype(compute_dtype).transpose(2, 3, 1, 0)
+        if _use_s2d(stride, cnn.kernel_size[i], w_hwio.shape[2]):
+            out = _s2d_conv(x, w_hwio, stride, pad)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x,
+                w_hwio,  # OIHW->HWIO
+                window_strides=stride,
+                padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         out = out + p["b"].astype(compute_dtype)
         ns = dict(s)
         if "bn" in p:

@@ -503,5 +503,9 @@ def train_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    return (t % 2 == 0 and h % 128 == 0 and (2 * b) % 8 == 0
+    # odd t (e.g. the 863 conv front's t'=95) falls to chunk=1 in
+    # _pick_chunk: measured 1.78 -> 0.65 ms/layer vs v1 at
+    # (t,b,h)=(95,128,256) bf16 on v5e -- v1's wrapper plane copies
+    # cost more than the extra per-step DMA issues
+    return (t >= 1 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)

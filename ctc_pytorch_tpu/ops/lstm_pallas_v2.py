@@ -196,4 +196,8 @@ def lstm_bidir_pallas_v2(
 
 
 def v2_ok(t: int, b: int, h: int) -> bool:
-    return t % 2 == 0 and h % 128 == 0 and (2 * b) % 8 == 0
+    # any t >= 1: the chunk picker falls back to chunk=1 when nothing
+    # larger divides t (odd conv-output lengths, e.g. the 863 front's
+    # t'=95); measured 2-3x over the v1 path even at chunk=1 because
+    # the wrapper plane copies, not the DMA count, dominate v1
+    return t >= 1 and h % 128 == 0 and (2 * b) % 8 == 0

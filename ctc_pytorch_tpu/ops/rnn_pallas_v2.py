@@ -353,5 +353,6 @@ def rnn_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    return (t % 2 == 0 and h % 128 == 0 and (2 * b) % 8 == 0
+    # odd t falls to chunk=1 in _pick_chunk (see gru_pallas_v2.py)
+    return (t >= 1 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)

@@ -23,8 +23,9 @@ def _setup(t, b, f, h, seed=0):
     return x, w_ih, w_hh
 
 
-def test_v2_gru_matches_v1():
-    t, b, f, h, chunk = 8, 2, 6, 4, 4
+@pytest.mark.parametrize("t,b,f,h,chunk", [(8, 2, 6, 4, 4),
+                                           (7, 2, 6, 4, 1)])  # odd T
+def test_v2_gru_matches_v1(t, b, f, h, chunk):
     x, w_ih, w_hh = _setup(t, b, f, h)
     tgt = jax.random.normal(jax.random.PRNGKey(11), (t, b, 2 * h), jnp.float32)
 
@@ -51,5 +52,6 @@ def test_v2_gru_matches_v1():
 
 def test_gru_v2_ok_gate():
     assert gru_v2_ok(200, 128, 256, jnp.bfloat16)
-    assert not gru_v2_ok(201, 128, 256, jnp.bfloat16)
+    assert gru_v2_ok(201, 128, 256, jnp.bfloat16)  # odd T -> chunk=1
+    assert gru_v2_ok(95, 128, 256, jnp.bfloat16)  # the 863 front shape
     assert not gru_v2_ok(200, 128, 100, jnp.bfloat16)

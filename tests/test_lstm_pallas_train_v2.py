@@ -27,6 +27,7 @@ def _setup(t, b, f, h, seed=0):
 
 
 @pytest.mark.parametrize("t,b,f,h,chunk", [(8, 2, 6, 4, 4),
+                                           (7, 2, 6, 4, 1),  # odd T
                                            pytest.param(12, 3, 5, 4, 2,
                                                         marks=pytest.mark.slow)])
 def test_v2_train_matches_v1(t, b, f, h, chunk):
@@ -51,7 +52,8 @@ def test_v2_train_matches_v1(t, b, f, h, chunk):
 
 def test_train_v2_ok_gate():
     assert train_v2_ok(80, 128, 384, jnp.bfloat16)
-    assert not train_v2_ok(81, 128, 384, jnp.bfloat16)  # odd T
+    assert train_v2_ok(81, 128, 384, jnp.bfloat16)  # odd T -> chunk=1
+    assert train_v2_ok(95, 128, 256, jnp.bfloat16)  # the 863 front shape
     assert not train_v2_ok(80, 128, 100, jnp.bfloat16)  # unaligned H
     # fp32 streams at the flagship shape exceed VMEM -> v1 path
     assert not train_v2_ok(80, 128, 384, jnp.float32)

@@ -23,7 +23,8 @@ def _setup(t, b, f, h, seed=0):
     return params, x, w_ih, w_hh
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(16, 3, 5, 4, 4), (8, 2, 4, 4, 8)])
+@pytest.mark.parametrize("t,b,f,h,chunk", [(16, 3, 5, 4, 4), (8, 2, 4, 4, 8),
+                                           (9, 2, 4, 4, 1)])  # odd T
 def test_v2_matches_v1_and_scan(t, b, f, h, chunk):
     params, x, w_ih, w_hh = _setup(t, b, f, h)
     ref = _scan_bidir_fused(params, x, "lstm", h, jnp.float32)
@@ -38,4 +39,4 @@ def test_v2_matches_v1_and_scan(t, b, f, h, chunk):
 def test_v2_ok_gate():
     assert v2_ok(80, 128, 384)
     assert not v2_ok(80, 128, 100)  # H not lane-aligned
-    assert not v2_ok(81, 128, 384)  # odd T
+    assert v2_ok(81, 128, 384)  # odd T -> chunk=1

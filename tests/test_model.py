@@ -107,3 +107,37 @@ def test_gru_variant_and_jit():
     x = jnp.ones((2, 12, 40), jnp.float32)
     out = fwd(params, state, x)
     assert out.shape == (12, 2, 8)
+
+
+def test_s2d_conv_equals_direct():
+    """The space-to-depth strided-conv formulation (models/cnn.py:_s2d_conv)
+    must equal lax.conv exactly in fp32 across the shipped conv shapes:
+    the 863 front (1->16, k(11,5), s(2,2), no pad), both flagship layers
+    (k(3,3), pad (1,1), strides (1,2)/(2,2)), odd spatial dims, and a
+    multi-channel small-kernel case."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctc_pytorch_tpu.models.cnn import _s2d_conv
+
+    rng = np.random.RandomState(0)
+    cases = [
+        # (B, T, F, Ci, Co, kt, kf, st, sf, pt, pf)
+        (3, 40, 201, 1, 16, 11, 5, 2, 2, 0, 0),   # 863 front
+        (2, 33, 81, 1, 32, 3, 3, 1, 2, 1, 1),     # flagship L1
+        (2, 17, 41, 32, 32, 3, 3, 2, 2, 1, 1),    # flagship L2 (ci=32)
+        (2, 31, 29, 2, 8, 5, 4, 3, 2, 2, 0),      # odd dims, stride 3
+        (1, 12, 11, 1, 4, 11, 5, 2, 2, 0, 0),     # output size 1 in time
+    ]
+    for bsz, t, f, ci, co, kt, kf, st, sf, pt, pf in cases:
+        x = jnp.asarray(rng.randn(bsz, t, f, ci).astype(np.float32))
+        w = jnp.asarray(rng.randn(kt, kf, ci, co).astype(np.float32) * 0.2)
+        ref = jax.lax.conv_general_dilated(
+            x, w, window_strides=(st, sf),
+            padding=[(pt, pt), (pf, pf)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = _s2d_conv(x, w, (st, sf), (pt, pf))
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -92,19 +92,20 @@ def test_unpadded_tail_chunk():
     )
 
 
-def test_v2_matches_v1():
+@pytest.mark.parametrize("t,chunk", [(8, 4), (7, 1)])  # incl. odd T
+def test_v2_matches_v1(t, chunk):
     """v2-layout kernels (ops/rnn_pallas_v2.py) vs v1, fwd+bwd+eval."""
     from ctc_pytorch_tpu.ops.rnn_pallas_v2 import rnn_bidir_v2
 
-    params, x, w_ih, w_hh = _setup(8, 2, 6, 4, seed=9)
-    tgt = jax.random.normal(jax.random.PRNGKey(11), (8, 2, 8), jnp.float32)
+    params, x, w_ih, w_hh = _setup(t, 2, 6, 4, seed=9)
+    tgt = jax.random.normal(jax.random.PRNGKey(11), (t, 2, 8), jnp.float32)
 
     def l1(x, wi, wh):
-        out = rnn_bidir_pallas(x, wi, wh, chunk=4, interpret=True)
+        out = rnn_bidir_pallas(x, wi, wh, chunk=chunk, interpret=True)
         return jnp.sum((out - tgt) ** 2)
 
     def l2(x, wi, wh):
-        out = rnn_bidir_v2(x, wi, wh, chunk=4, interpret=True)
+        out = rnn_bidir_v2(x, wi, wh, chunk=chunk, interpret=True)
         return jnp.sum((out - tgt) ** 2)
 
     v1, g1 = jax.value_and_grad(l1, argnums=(0, 1, 2))(x, w_ih, w_hh)
@@ -113,7 +114,8 @@ def test_v2_matches_v1():
     for name, a, b_ in zip(("dx", "dw_ih", "dw_hh"), g2, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6, err_msg=name)
-    e = rnn_bidir_v2(x, w_ih, w_hh, chunk=4, interpret=True, train=False)
-    r = rnn_bidir_pallas(x, w_ih, w_hh, chunk=4, interpret=True)
+    e = rnn_bidir_v2(x, w_ih, w_hh, chunk=chunk, interpret=True,
+                     train=False)
+    r = rnn_bidir_pallas(x, w_ih, w_hh, chunk=chunk, interpret=True)
     np.testing.assert_allclose(np.asarray(e), np.asarray(r), rtol=1e-6,
                                atol=1e-7)
