@@ -95,7 +95,8 @@ def _brute_force_best(probs, blank=0):
     return best, best_score
 
 
-@pytest.mark.parametrize("seed", [0, 1, pytest.param(2, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow),
+                                  pytest.param(2, marks=pytest.mark.slow)])
 def test_beam_search_matches_brute_force(seed):
     rng = np.random.RandomState(seed)
     t, c = 4, 3

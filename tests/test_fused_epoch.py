@@ -155,7 +155,9 @@ def test_fused_multibucket_trains(tmp_path, mode):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+@pytest.mark.parametrize("mode", ["bucket",
+                                  pytest.param("quantized",
+                                               marks=pytest.mark.slow)])
 def test_fused_mesh_matches_single_device(tmp_path, mode):
     """The shard_map'd fused epoch on a 4-device data mesh produces the
     same losses and updated params as single-device fused (the loss/grad

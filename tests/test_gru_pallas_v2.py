@@ -23,8 +23,9 @@ def _setup(t, b, f, h, seed=0):
     return x, w_ih, w_hh
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(8, 2, 6, 4, 4),
-                                           (7, 2, 6, 4, 1)])  # odd T
+@pytest.mark.parametrize("t,b,f,h,chunk", [
+    pytest.param(8, 2, 6, 4, 4, marks=pytest.mark.slow),
+    (7, 2, 6, 4, 1)])  # odd T -> chunk=1, exercises everything + chunk=1
 def test_v2_gru_matches_v1(t, b, f, h, chunk):
     x, w_ih, w_hh = _setup(t, b, f, h)
     tgt = jax.random.normal(jax.random.PRNGKey(11), (t, b, 2 * h), jnp.float32)

@@ -26,10 +26,10 @@ def _setup(t, b, f, h, seed=0):
     return x, w_ih, w_hh
 
 
-@pytest.mark.parametrize("t,b,f,h,chunk", [(8, 2, 6, 4, 4),
-                                           (7, 2, 6, 4, 1),  # odd T
-                                           pytest.param(12, 3, 5, 4, 2,
-                                                        marks=pytest.mark.slow)])
+@pytest.mark.parametrize("t,b,f,h,chunk", [
+    (7, 2, 6, 4, 1),  # odd T -> chunk=1, the newest dispatch surface
+    pytest.param(8, 2, 6, 4, 4, marks=pytest.mark.slow),
+    pytest.param(12, 3, 5, 4, 2, marks=pytest.mark.slow)])
 def test_v2_train_matches_v1(t, b, f, h, chunk):
     x, w_ih, w_hh = _setup(t, b, f, h)
     tgt = jax.random.normal(jax.random.PRNGKey(11), (t, b, 2 * h), jnp.float32)

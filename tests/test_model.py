@@ -1,5 +1,6 @@
 """CTCModel end-to-end shape/semantics tests (reference config shapes)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -109,7 +110,19 @@ def test_gru_variant_and_jit():
     assert out.shape == (12, 2, 8)
 
 
-def test_s2d_conv_equals_direct():
+@pytest.mark.parametrize("cases", [
+    [
+        # (B, T, F, Ci, Co, kt, kf, st, sf, pt, pf)
+        (3, 40, 201, 1, 16, 11, 5, 2, 2, 0, 0),   # 863 front
+        (1, 12, 11, 1, 4, 11, 5, 2, 2, 0, 0),     # output size 1 in time
+    ],
+    pytest.param([
+        (2, 33, 81, 1, 32, 3, 3, 1, 2, 1, 1),     # flagship L1
+        (2, 17, 41, 32, 32, 3, 3, 2, 2, 1, 1),    # flagship L2 (ci=32)
+        (2, 31, 29, 2, 8, 5, 4, 3, 2, 2, 0),      # odd dims, stride 3
+    ], marks=pytest.mark.slow),
+])
+def test_s2d_conv_equals_direct(cases):
     """The space-to-depth strided-conv formulation (models/cnn.py:_s2d_conv)
     must equal lax.conv exactly in fp32 across the shipped conv shapes:
     the 863 front (1->16, k(11,5), s(2,2), no pad), both flagship layers
@@ -122,14 +135,6 @@ def test_s2d_conv_equals_direct():
     from ctc_pytorch_tpu.models.cnn import _s2d_conv
 
     rng = np.random.RandomState(0)
-    cases = [
-        # (B, T, F, Ci, Co, kt, kf, st, sf, pt, pf)
-        (3, 40, 201, 1, 16, 11, 5, 2, 2, 0, 0),   # 863 front
-        (2, 33, 81, 1, 32, 3, 3, 1, 2, 1, 1),     # flagship L1
-        (2, 17, 41, 32, 32, 3, 3, 2, 2, 1, 1),    # flagship L2 (ci=32)
-        (2, 31, 29, 2, 8, 5, 4, 3, 2, 2, 0),      # odd dims, stride 3
-        (1, 12, 11, 1, 4, 11, 5, 2, 2, 0, 0),     # output size 1 in time
-    ]
     for bsz, t, f, ci, co, kt, kf, st, sf, pt, pf in cases:
         x = jnp.asarray(rng.randn(bsz, t, f, ci).astype(np.float32))
         w = jnp.asarray(rng.randn(kt, kf, ci, co).astype(np.float32) * 0.2)

@@ -161,7 +161,7 @@ def test_cmvn_psum_on_mesh():
     )
 
     mesh = make_mesh()
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map, mesh=mesh,

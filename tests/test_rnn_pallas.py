@@ -92,7 +92,9 @@ def test_unpadded_tail_chunk():
     )
 
 
-@pytest.mark.parametrize("t,chunk", [(8, 4), (7, 1)])  # incl. odd T
+@pytest.mark.parametrize("t,chunk", [
+    pytest.param(8, 4, marks=pytest.mark.slow),
+    (7, 1)])  # odd T -> chunk=1 covers the kernel + the new gate
 def test_v2_matches_v1(t, chunk):
     """v2-layout kernels (ops/rnn_pallas_v2.py) vs v1, fwd+bwd+eval."""
     from ctc_pytorch_tpu.ops.rnn_pallas_v2 import rnn_bidir_v2
