@@ -13,8 +13,11 @@ TPU-first design, replacing the reference's cuDNN ``nn.LSTM/GRU/RNN``
 - bidirectional = a second scan over the time-reversed sequence.  By default
   the reversal covers the **full padded length**, matching the reference's
   unpacked ``nn.LSTM`` on padded batches (timit path); ``lengths`` triggers
-  per-utterance reversal matching the 863 packed-sequence path
-  (``my_863_corpus/steps/lstm_ctc.py:40-42``);
+  packed-sequence semantics matching the 863 path
+  (``my_863_corpus/steps/lstm_ctc.py:40-42``): per-utterance reversal,
+  zero-filled outputs beyond each length (``pad_packed_sequence``), and —
+  because the cells are bias-free — the Pallas kernels serve this mode
+  too, via a zeroed padded tail instead of a length-aware flip;
 - params stay fp32; matmuls run in ``compute_dtype`` (bf16 on TPU) with fp32
   accumulation; the cell state stays fp32 for numerical stability.
 
@@ -274,9 +277,23 @@ def rnn_layer_apply(
             params["bn"], state["bn"], x, train, axis_name=axis_name,
             mask=bn_mask,
         )
+    valid = None
+    if lengths is not None:
+        # (T, B, 1) frame-validity mask.  The cells are bias-free
+        # (``model_ctc.py:24-25`` / ``my_863_corpus/steps/model.py:83``:
+        # ``bias=False``), so zeroed input rows with zero incoming state
+        # keep the state EXACTLY zero: the Pallas kernels' in-kernel
+        # reverse direction walks the padded tail first and arrives at
+        # each utterance's true last frame with pristine zero state --
+        # the packed-sequence semantics with no kernel change.  The
+        # forward direction's state runs past the valid tail, matching
+        # the scan path; pad-row OUTPUTS are zeroed below for every
+        # path, which is exactly ``pad_packed_sequence``'s contract.
+        valid = (
+            jnp.arange(x.shape[0])[:, None] < lengths[None, :]
+        ).astype(x.dtype)[..., None]
     use_pallas_here = (
         "bwd" in params and pallas and cell in ("lstm", "gru", "rnn")
-        and lengths is None
     )
     if use_pallas_here:
         # compiled-kernel tiling constraints (Mosaic): the hidden size is the
@@ -294,6 +311,10 @@ def rnn_layer_apply(
     if use_pallas_here:
         # fused Pallas scan: trainable LSTM kernel (custom VJP) in training,
         # lighter forward-only kernels at eval (ops/{lstm,gru}_pallas*.py)
+        if valid is not None:
+            # zero the padded tail so the kernels' reverse direction sees
+            # zero gx rows (packed semantics; see the `valid` comment)
+            x = x * valid
         w_ih = jnp.stack([params["fwd"]["w_ih"], params["bwd"]["w_ih"]])
         w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]])
         if cell == "rnn":
@@ -417,6 +438,12 @@ def rnn_layer_apply(
         out = _scan_direction(
             params["fwd"], x, cell, hidden_size, False, compute_dtype
         )
+    if valid is not None:
+        # pad_packed_sequence zero-fills beyond each length
+        # (``my_863_corpus/steps/model.py:138``); zeroing the padded rows
+        # here makes scan and kernel paths bit-equal on EVERY row and
+        # keeps downstream BN planes from reading stale recurrent state.
+        out = out * valid.astype(out.dtype)
     out = dropout(out, drop_rate, rng, train)
     return out, new_state
 

@@ -88,8 +88,49 @@ def test_masked_bidirectional_matches_packed_torch():
         compute_dtype=jnp.float32,
     )
     ours = np.asarray(ours)
+    # ALL rows, not just the valid prefix: pad_packed_sequence zero-fills
+    # beyond each length and the lengths mode reproduces that exactly
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lengths_mode_pallas_matches_scan():
+    """The Pallas kernels serve lengths mode via a zeroed padded tail
+    (bias-free cells keep the reverse state exactly zero through padding);
+    every row -- valid and pad -- must match the scan path."""
+    from ctc_pytorch_tpu.models import rnn as rnn_mod
+
+    t, b, f, h = 6, 8, 4, 128  # h lane-aligned so the kernel gate passes
+    rng = np.random.RandomState(3)
+    x = rng.randn(t, b, f).astype(np.float32)
+    lengths = np.array([6, 5, 3, 2, 6, 4, 1, 5])
     for i, l in enumerate(lengths):
-        np.testing.assert_allclose(ours[:l, i], ref[:l, i], rtol=1e-4, atol=1e-5)
+        x[l:, i] = rng.randn(t - l, f)  # garbage in the padded tail
+    for cell in ("lstm", "gru", "rnn"):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        params = {
+            "fwd": cell_init(k1, cell, f, h),
+            "bwd": cell_init(k2, cell, f, h),
+        }
+        ref, _ = rnn_layer_apply(
+            params, {}, jnp.asarray(x), cell=cell, hidden_size=h,
+            lengths=jnp.asarray(lengths), compute_dtype=jnp.float32,
+            pallas=False,
+        )
+        old_flag = rnn_mod.FORCE_PALLAS_OFF_TPU
+        rnn_mod.FORCE_PALLAS_OFF_TPU = True
+        try:
+            got, _ = rnn_layer_apply(
+                params, {}, jnp.asarray(x), cell=cell, hidden_size=h,
+                lengths=jnp.asarray(lengths), compute_dtype=jnp.float32,
+                pallas=True,
+            )
+        finally:
+            rnn_mod.FORCE_PALLAS_OFF_TPU = old_flag
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=cell)
+        # padded rows are exactly zero (pad_packed_sequence contract)
+        for i, l in enumerate(lengths):
+            np.testing.assert_array_equal(np.asarray(got)[l:, i], 0.0)
 
 
 def test_init_shapes():
