@@ -143,7 +143,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
 
     def kernel(gx_hbm, w_ref, ys_hbm, dy_hbm, dgx_hbm, dhhn_hbm,
                gf_buf, gb_buf, hp0_buf, hp1_buf, dy0_buf, dy1_buf,
-               dg0_buf, dg1_buf, dn0_buf, dn1_buf, dh_scr,
+               dg0_buf, dg1_buf, dn0_buf, dn1_buf, pre_buf, dh_scr,
                in_sems, out_sems):
         def a0(ci):
             return (n_chunks - 1 - ci) * chunk  # dir0 reverse walk
@@ -223,43 +223,62 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
                 for d in dmas_out(slot, ci - 2):
                     d.wait()
 
+            # ---- parallel pre-pass over the whole chunk ----
+            # Every gate quantity is carry-free (r, z, n depend only on
+            # pre-loaded planes), so the recompute dot, all
+            # transcendentals, and the gate jacobians hoist out of the
+            # serial loop as chunk-batched work.  dpre/dhh_n/dh_prev are
+            # all LINEAR in dh_t = dy + dh, so the serial chain is just
+            # that add, three fused multiplies, and the dpre @ W^T dot.
+            # (fp32 multiply reassociation: ulp-level differences only.)
+            dd = w_ref.dtype
+            hp2a = jnp.stack([hp0_buf[:], hp1_buf[:]])  # (2, c, b, h)
+            hh = jax.lax.dot_general(
+                hp2a.reshape(2, chunk * b, h).astype(dd), w_ref[:],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(2, chunk, b, h3)
+            gxa = jnp.stack(
+                [gf_buf[slot], gb_buf[slot]]).astype(jnp.float32)
+            hpf = hp2a.astype(jnp.float32)
+            r = jax.nn.sigmoid(gxa[..., :h] + hh[..., :h])
+            z = jax.nn.sigmoid(gxa[..., h:2 * h] + hh[..., h:2 * h])
+            hh_n = hh[..., 2 * h:]
+            n = jnp.tanh(gxa[..., 2 * h:] + r * hh_n)
+            p_n = (1.0 - z) * (1.0 - n * n)          # dpre_n = dh_t * p_n
+            # lanes: [P_r | P_z | P_n | P_hn | z | dy], each h wide
+            pre = jnp.concatenate([
+                p_n * hh_n * (r * (1.0 - r)),        # dpre_r = dh_t * P_r
+                (hpf - n) * (z * (1.0 - z)),         # dpre_z = dh_t * P_z
+                p_n,
+                p_n * r,                             # dhh_n = dh_t * P_hn
+                z,
+                jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32),
+            ], axis=-1)  # (2, c, b, 6h)
+            # store in STEP order (dir0 walks its buffer rows in reverse);
+            # static unroll (chunk <= 8) -- Mosaic has no rev/value-slice
+            for j in range(chunk):
+                pre_buf[j, 0] = pre[0, chunk - 1 - j]
+                pre_buf[j, 1] = pre[1, j]
+
             def step(k, dh):
                 r_ = chunk - 1 - k  # dir0 in-buffer row
-                gx2 = jnp.stack([gf_buf[slot, r_], gb_buf[slot, k]])
-                hp2 = jnp.stack([hp0_buf[r_], hp1_buf[k]])
-                dy2 = jnp.stack([dy0_buf[r_], dy1_buf[k]])
-                dd = w_ref.dtype
-                hh = jax.lax.dot_general(
-                    hp2.astype(dd), w_ref[:],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-                gx2f = gx2.astype(jnp.float32)
-                hpf = hp2.astype(jnp.float32)
-                r = jax.nn.sigmoid(gx2f[..., :h] + hh[..., :h])
-                z = jax.nn.sigmoid(gx2f[..., h:2 * h] + hh[..., h:2 * h])
-                hh_n = hh[..., 2 * h:]
-                n = jnp.tanh(gx2f[..., 2 * h:] + r * hh_n)
-
-                dh_t = dy2.astype(jnp.float32) + dh
-                dz = dh_t * (hpf - n)
-                dn = dh_t * (1.0 - z)
-                dpre_n = dn * (1.0 - n * n)
-                dr = dpre_n * hh_n
-                dpre_r = dr * r * (1.0 - r)
-                dpre_z = dz * z * (1.0 - z)
-                dhh_n = dpre_n * r
-                dpre = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+                pk = pre_buf[k]  # (2, b, 6h)
+                dh_t = pk[..., 5 * h:] + dh
+                dh3 = jnp.concatenate([dh_t, dh_t, dh_t], axis=-1)
+                dpre = dh3 * pk[..., :3 * h]
+                dhh_n = dh_t * pk[..., 3 * h:4 * h]
                 dg0_buf[slot, r_] = dpre[0].astype(sd)
                 dg1_buf[slot, k] = dpre[1].astype(sd)
                 dn0_buf[slot, r_] = dhh_n[0].astype(sd)
                 dn1_buf[slot, k] = dhh_n[1].astype(sd)
                 # dh_prev = [dpre_r, dpre_z, dhh_n] @ W^T + dh_t * z
-                dhh = jnp.concatenate([dpre_r, dpre_z, dhh_n], axis=-1)
+                dhh = jnp.concatenate([dpre[..., :2 * h], dhh_n], axis=-1)
                 dh_prev = jax.lax.dot_general(
                     dhh.astype(dd), w_ref[:],
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                return dh_prev + dh_t * z
+                return dh_prev + dh_t * pk[..., 4 * h:5 * h]
 
             dh_scr[:] = jax.lax.fori_loop(0, chunk, step, dh_scr[:])
             for d in dmas_out(slot, ci):
@@ -345,6 +364,7 @@ def _bwd_pallas(gx, w_hh, ys_store, dy, chunk, interpret):
             pltpu.VMEM((2, chunk, b, 3 * h), sd),
             pltpu.VMEM((2, chunk, b, h), sd),
             pltpu.VMEM((2, chunk, b, h), sd),
+            pltpu.VMEM((chunk, 2, b, 6 * h), jnp.float32),  # pre-pass
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.SemaphoreType.DMA((6, 2)),
             pltpu.SemaphoreType.DMA((4, 2)),
@@ -400,13 +420,18 @@ def _pick_chunk(t: int, b: int, h: int, sd_bytes: int,
                 budget: int = 13 * 1024 * 1024) -> int:
     w_bytes = 2 * h * 3 * h * sd_bytes
     carries = 2 * 2 * b * h * 4
+    # divisibility is NOT required: the wrapper zero-pads gx to a chunk
+    # multiple (bias-free cells keep the padded tail's state exactly zero,
+    # so outputs in [0, t) are unchanged).  chunk=1 is deliberately last:
+    # the hoisted pre-pass amortizes nothing at one step per chunk
+    # (measured 0.99 ms/layer at chunk=1 vs 0.22 at chunk=2, (95,128,256)).
     for c in (8, 4, 2, 1):
-        if t % c:
-            continue
         # bwd: (gx + dgx) double (3H each per dir) + dhhn double + 4 small
         bufs = (2 * 2 * c * b * 3 * h * 2 + 2 * 2 * c * b * h
                 + 4 * c * b * h) * sd_bytes
-        if bufs + w_bytes + carries <= budget:
+        # + the hoisted pre-pass (6h fp32 scratch + transient gate planes)
+        hoist = 20 * c * b * h * 4
+        if bufs + hoist + w_bytes + carries <= budget:
             return c
     return 0
 
@@ -426,16 +451,23 @@ def gru_bidir_v2(
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
-    gx = jax.lax.dot_general(
-        x.reshape(t * b, -1).astype(compute_dtype), w_cat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=sd,
-    ).reshape(t, b, 6 * h)
     if chunk is None:
         chunk = _pick_chunk(t, b, h, jnp.dtype(sd).itemsize)
         if chunk == 0:
             raise ValueError("no v2 chunk fits VMEM; use the v1 path")
+    tp = -(-t // chunk) * chunk
+    if tp != t:
+        # pad BEFORE the gx dot: zero input rows give zero gx rows
+        # (bias-free cells), which keep both directions' state exactly
+        # zero through the tail, so rows [0, t) are unchanged; the pad's
+        # autodiff slices dx back down
+        x = jnp.pad(x, ((0, tp - t), (0, 0), (0, 0)))
+    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x.reshape(tp * b, -1).astype(compute_dtype), w_cat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=sd,
+    ).reshape(tp, b, 6 * h)
     if train:
         ys_store = gru_scan_train_v2(gx, w_hh.astype(jnp.float32), chunk,
                                      interpret)
@@ -443,14 +475,15 @@ def gru_bidir_v2(
     interp = _auto_interpret(interpret)
     ys = _fwd_pallas(gx, w_hh.astype(jnp.float32), chunk, interp,
                      with_guard=False)
-    return ys.astype(jnp.float32)
+    return ys[:t].astype(jnp.float32)
 
 
 def gru_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    # odd t falls to chunk=1 in _pick_chunk: measured 0.97 -> 0.46
-    # ms/layer vs the v1 train kernel at (t,b,h)=(95,128,256) bf16
+    # any t: the wrapper zero-pads gx to a chunk multiple (odd conv-output
+    # lengths like the 863 front's t'=95 cost one zero row, not the v1
+    # path's ~1 ms/layer wrapper plane copies)
     return (t >= 1 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)

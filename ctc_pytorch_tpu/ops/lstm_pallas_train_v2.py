@@ -16,16 +16,23 @@ of them:
 - cell residuals use the same trick: ``cs_resid (T+1, B, 2H)`` holds
   ``c_f[t]`` at row t+1 (lanes 0:H) and ``c_b[t]`` at row t (lanes H:2H),
   so both directions' (c_prev, c_t) pairs are adjacent-row reads.
-- the backward kernel is UN-hoisted: it recomputes the gate
-  pre-activations from gx + h_prev in-kernel (one extra serial batched
-  dot per step, ~1 us) instead of materializing an (T, B, 8H) gates
-  plane in HBM — the dominant v1 backward traffic.
+- the backward kernel recomputes the gate pre-activations from
+  gx + h_prev IN-KERNEL instead of materializing an (T, B, 8H) gates
+  plane in HBM (the dominant v1 backward traffic) — and hoists that
+  recomputation out of the serial loop as ONE chunk-batched MXU dot
+  plus a vectorized transcendental pre-pass, folding the gate
+  jacobians into carry-free factor planes.  The serial chain is then
+  just two multiplies and the ``dpre @ W_hh^T`` dot per step: measured
+  0.65 -> 0.12 ms/layer fwd+bwd at (95,128,256) bf16 on v5e.
 - ``dW_hh`` contracts shifted row slices of ys_store against dgx lanes
   outside the kernel (two XLA dots); dW_ih/dx fall out of the gx dot's
   autodiff as in v1.
 
-Requires T % chunk == 0 (bucket lengths are 8-aligned).  Numerics match
-v1 exactly at fp32 streams.  With bf16 streams, v2 INTENTIONALLY diverges
+Any T: the wrapper zero-pads gx to a chunk multiple (bias-free cells
+keep the padded tail's state exactly zero in both directions, so rows
+[0, T) are untouched).  Numerics match v1 at fp32 streams up to the
+hoisted backward's multiply reassociation (cos 0.99999993 vs scan
+ground truth at (95,128,256), same distance as v1's).  With bf16 streams, v2 INTENTIONALLY diverges
 from v1's fp32-weights policy: ``W_hh`` is cast to the stream dtype so the
 serial recurrent dot (the latency-critical op of the whole layer) runs as
 a pure-bf16 MXU matmul with fp32 accumulation, rather than paying the
@@ -186,7 +193,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
 
     def kernel(gx_hbm, w_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm,
                gf_buf, gb_buf, hp0_buf, hp1_buf, cs0_buf, cs1_buf,
-               dy0_buf, dy1_buf, dg0_buf, dg1_buf, dh_scr, dc_scr,
+               dy0_buf, dy1_buf, dg0_buf, dg1_buf, pre_buf, dh_scr, dc_scr,
                in_sems, out_sems):
         # dir0 walks time in REVERSE (chunk n-1-ci), dir1 FORWARD (chunk ci)
         def a0(ci):
@@ -267,37 +274,64 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
                 for d in dmas_out(slot, ci - 2):
                     d.wait()
 
+            # ---- parallel pre-pass over the whole chunk ----
+            # The gate recomputation (hh dot + sigmoids/tanh) depends only
+            # on PRE-LOADED planes (h_prev, gx, cs), never on the serial
+            # carry: hoist it out of the step loop as ONE chunk-batched MXU
+            # dot and one vectorized transcendental pass.  The serial chain
+            # keeps only the carry-dependent multiplies and the dpre@W^T
+            # dot — half the per-step dot latency of the un-hoisted form.
+            # Folding the gate jacobians into carry-free factors reassociates
+            # fp32 multiplies (e.g. (dct*g)*i*(1-i) -> dct*(g*i*(1-i))):
+            # same math, ulp-level differences only.
+            dd = w_ref.dtype
+            hp2a = jnp.stack([hp0_buf[:], hp1_buf[:]])  # (2, c, b, h)
+            hh = jax.lax.dot_general(
+                hp2a.reshape(2, chunk * b, h).astype(dd), w_ref[:],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(2, chunk, b, h4)
+            gates = jnp.stack(
+                [gf_buf[slot], gb_buf[slot]]).astype(jnp.float32) + hh
+            i = jax.nn.sigmoid(gates[..., :h])
+            f = jax.nn.sigmoid(gates[..., h:2 * h])
+            g = jnp.tanh(gates[..., 2 * h:3 * h])
+            o = jax.nn.sigmoid(gates[..., 3 * h:])
+            # per-direction (c_prev, c_t) pairs are adjacent row ranges
+            ct = jnp.stack([cs0_buf[1:chunk + 1], cs1_buf[0:chunk]]
+                           ).astype(jnp.float32)
+            cpv = jnp.stack([cs0_buf[0:chunk], cs1_buf[1:chunk + 1]]
+                            ).astype(jnp.float32)
+            tc = jnp.tanh(ct)
+            dy = jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32)
+
+            # lanes: [A | Gi | Gf | Gg | Go | f | dy], each h wide
+            pre = jnp.concatenate([
+                o * (1.0 - tc * tc),       # A: dct factor of dh_t
+                g * (i * (1.0 - i)),       # Gi: dpre_i = dct * Gi
+                cpv * (f * (1.0 - f)),     # Gf: dpre_f = dct * Gf
+                i * (1.0 - g * g),         # Gg: dpre_g = dct * Gg
+                tc * (o * (1.0 - o)),      # Go: dpre_o = dh_t * Go
+                f,                         # dc_prev = dct * f
+                dy,
+            ], axis=-1)  # (2, c, b, 7h)
+            # store in STEP order (dir0 walks its buffer rows in reverse);
+            # static unroll (chunk <= 8) -- Mosaic has no rev/value-slice
+            for j in range(chunk):
+                pre_buf[j, 0] = pre[0, chunk - 1 - j]
+                pre_buf[j, 1] = pre[1, j]
+
             def step(k, carry):
                 dh, dc = carry
                 r = chunk - 1 - k  # dir0's in-buffer row (reverse walk)
-                gx2 = jnp.stack([gf_buf[slot, r], gb_buf[slot, k]])
-                hp2 = jnp.stack([hp0_buf[r], hp1_buf[k]])
-                cprev2 = jnp.stack([cs0_buf[r], cs1_buf[k + 1]])
-                ct2 = jnp.stack([cs0_buf[r + 1], cs1_buf[k]])
-                dy2 = jnp.stack([dy0_buf[r], dy1_buf[k]])
-                dd = w_ref.dtype
-                hh = jax.lax.dot_general(
-                    hp2.astype(dd), w_ref[:],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-                gates = gx2.astype(jnp.float32) + hh
-                i = jax.nn.sigmoid(gates[..., :h])
-                f = jax.nn.sigmoid(gates[..., h:2 * h])
-                g = jnp.tanh(gates[..., 2 * h:3 * h])
-                o = jax.nn.sigmoid(gates[..., 3 * h:])
-                tc = jnp.tanh(ct2.astype(jnp.float32))
-                cpv = cprev2.astype(jnp.float32)
-                dh_t = dy2.astype(jnp.float32) + dh
-                do = dh_t * tc
-                dct = dc + dh_t * o * (1.0 - tc * tc)
-                di = dct * g
-                df = dct * cpv
-                dg = dct * i
+                pk = pre_buf[k]  # (2, b, 7h)
+                dh_t = pk[..., 6 * h:] + dh
+                dct = dc + dh_t * pk[..., :h]
                 dpre = jnp.concatenate([
-                    di * i * (1.0 - i),
-                    df * f * (1.0 - f),
-                    dg * (1.0 - g * g),
-                    do * o * (1.0 - o),
+                    dct * pk[..., h:2 * h],
+                    dct * pk[..., 2 * h:3 * h],
+                    dct * pk[..., 3 * h:4 * h],
+                    dh_t * pk[..., 4 * h:5 * h],
                 ], axis=-1)  # (2, B, 4H)
                 dg0_buf[slot, r] = dpre[0].astype(sd)
                 dg1_buf[slot, k] = dpre[1].astype(sd)
@@ -305,7 +339,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
                     dpre.astype(dd), w_ref[:],
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                dc_prev = dct * f
+                dc_prev = dct * pk[..., 5 * h:6 * h]
                 return dh_prev, dc_prev
 
             dh, dc = jax.lax.fori_loop(0, chunk, step, (dh_scr[:], dc_scr[:]))
@@ -400,6 +434,7 @@ def _bwd_pallas(gx, w_hh, ys_store, cs_resid, dy, chunk, interpret):
             pltpu.VMEM((chunk, b, h), sd),  # dy dir1
             pltpu.VMEM((2, chunk, b, 4 * h), sd),  # dgx dir0
             pltpu.VMEM((2, chunk, b, 4 * h), sd),  # dgx dir1
+            pltpu.VMEM((chunk, 2, b, 7 * h), jnp.float32),  # pre-pass
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.SemaphoreType.DMA((8, 2)),
@@ -459,12 +494,15 @@ def _pick_chunk(t: int, b: int, h: int, sd_bytes: int,
     """Largest chunk dividing T whose backward buffers fit VMEM."""
     w_bytes = 2 * h * 4 * h * sd_bytes
     carries = 4 * 2 * b * h * 4
+    # divisibility is NOT required: the wrapper zero-pads gx to a chunk
+    # multiple (see gru_pallas_v2._pick_chunk)
     for c in (8, 4, 2, 1):
-        if t % c:
-            continue
         # bwd footprint: (gx + dgx) double-buffered + 6 single small streams
         bufs = (2 * 2 * c * b * 4 * h * 2 + 6 * (c + 1) * b * h) * sd_bytes
-        if bufs + w_bytes + carries <= budget:
+        # + the hoisted pre-pass values (gates fp32 + 7 step-ordered
+        # carry-free factor planes, all (c, 2, b, h) fp32)
+        hoist = 24 * c * b * h * 4
+        if bufs + hoist + w_bytes + carries <= budget:
             return c
     return 0
 
@@ -484,16 +522,21 @@ def lstm_bidir_train_v2(
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
-    gx = jax.lax.dot_general(
-        x.reshape(t * b, -1).astype(compute_dtype), w_cat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=sd,
-    ).reshape(t, b, 8 * h)
     if chunk is None:
         chunk = _pick_chunk(t, b, h, jnp.dtype(sd).itemsize)
         if chunk == 0:
             raise ValueError("no v2 chunk fits VMEM; use the v1 path")
+    tp = -(-t // chunk) * chunk
+    if tp != t:
+        # pad BEFORE the gx dot: zero input rows give zero gx rows
+        # (bias-free cells); rows [0, t) are unchanged (gru_pallas_v2)
+        x = jnp.pad(x, ((0, tp - t), (0, 0), (0, 0)))
+    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x.reshape(tp * b, -1).astype(compute_dtype), w_cat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=sd,
+    ).reshape(tp, b, 8 * h)
     ys_store = lstm_scan_train_v2(gx, w_hh.astype(jnp.float32), chunk,
                                   interpret)
     return ys_store[1:t + 1].astype(jnp.float32)
@@ -503,9 +546,8 @@ def train_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    # odd t (e.g. the 863 conv front's t'=95) falls to chunk=1 in
-    # _pick_chunk: measured 1.78 -> 0.65 ms/layer vs v1 at
-    # (t,b,h)=(95,128,256) bf16 on v5e -- v1's wrapper plane copies
-    # cost more than the extra per-step DMA issues
+    # any t: the wrapper zero-pads gx to a chunk multiple (the 863 conv
+    # front's odd t'=95 costs one zero row; v1's wrapper plane copies
+    # cost ~1 ms/layer)
     return (t >= 1 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)

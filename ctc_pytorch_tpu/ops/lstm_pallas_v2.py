@@ -157,23 +157,26 @@ def lstm_bidir_pallas_v2(
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    # one dot against lane-concatenated weights: (T*B, in) @ (in, 8H)
-    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
-    gx = jax.lax.dot_general(
-        x.reshape(t * b, -1).astype(compute_dtype), w_cat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=sd,
-    ).reshape(t, b, 2 * h4)
     if chunk is None:
         w_bytes = 2 * h * h4 * 4
         chunk = auto_chunk(2 * b, h, 5, weights_bytes=w_bytes,
                            elem_bytes=jnp.dtype(sd).itemsize)
-    while t % chunk:
-        chunk //= 2
-    kernel = _make_kernel(chunk, t, b, h, sd)
+    tp = -(-t // chunk) * chunk
+    if tp != t:
+        # pad BEFORE the gx dot: zero input rows give zero gx rows
+        # (bias-free cells); rows [0, t) are unchanged (gru_pallas_v2)
+        x = jnp.pad(x, ((0, tp - t), (0, 0), (0, 0)))
+    # one dot against lane-concatenated weights: (T*B, in) @ (in, 8H)
+    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x.reshape(tp * b, -1).astype(compute_dtype), w_cat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=sd,
+    ).reshape(tp, b, 2 * h4)
+    kernel = _make_kernel(chunk, tp, b, h, sd)
     ys = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t, b, 2 * h), sd),
+        out_shape=jax.ShapeDtypeStruct((tp, b, 2 * h), sd),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # gx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh (2,H,4H)
@@ -192,7 +195,7 @@ def lstm_bidir_pallas_v2(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interp,
     )(gx, w_hh.astype(jnp.float32))
-    return ys.astype(jnp.float32)
+    return ys[:t].astype(jnp.float32)
 
 
 def v2_ok(t: int, b: int, h: int) -> bool:

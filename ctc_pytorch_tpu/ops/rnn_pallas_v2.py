@@ -128,7 +128,7 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
 
     def kernel(w_ref, ys_hbm, dy_hbm, dgx_hbm,
                ht0_buf, ht1_buf, dy0_buf, dy1_buf, dg0_buf, dg1_buf,
-               dh_scr, in_sems, out_sems):
+               pre_buf, dh_scr, in_sems, out_sems):
         def a0(ci):
             return (n_chunks - 1 - ci) * chunk  # dir0 reverse walk
 
@@ -177,11 +177,22 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
                 for d in dmas_out(slot, ci - 2):
                     d.wait()
 
+            # parallel pre-pass: the tanh jacobian (1 - y^2) and the dy
+            # planes are carry-free; store them in STEP order so the
+            # serial loop is one add, one multiply, and the dot
+            h2a = jnp.stack([ht0_buf[:], ht1_buf[:]]).astype(jnp.float32)
+            pre = jnp.concatenate([
+                1.0 - h2a * h2a,
+                jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32),
+            ], axis=-1)  # (2, c, b, 2h)
+            for j in range(chunk):  # static unroll: dir0 rows reversed
+                pre_buf[j, 0] = pre[0, chunk - 1 - j]
+                pre_buf[j, 1] = pre[1, j]
+
             def step(k, dh):
                 r_ = chunk - 1 - k
-                h2 = jnp.stack([ht0_buf[r_], ht1_buf[k]]).astype(jnp.float32)
-                dy2 = jnp.stack([dy0_buf[r_], dy1_buf[k]]).astype(jnp.float32)
-                dpre = (dy2 + dh) * (1.0 - h2 * h2)
+                pk = pre_buf[k]  # (2, b, 2h)
+                dpre = (pk[..., h:] + dh) * pk[..., :h]
                 dg0_buf[slot, r_] = dpre[0].astype(sd)
                 dg1_buf[slot, k] = dpre[1].astype(sd)
                 dd = w_ref.dtype
@@ -260,6 +271,7 @@ def _bwd_pallas(w_hh, ys_store, dy, chunk, interpret):
             pltpu.VMEM((chunk, b, h), sd),
             pltpu.VMEM((2, chunk, b, h), sd),
             pltpu.VMEM((2, chunk, b, h), sd),
+            pltpu.VMEM((chunk, 2, b, 2 * h), jnp.float32),  # pre-pass
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.SemaphoreType.DMA((4, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -307,9 +319,8 @@ def _pick_chunk(t: int, b: int, h: int, sd_bytes: int,
                 budget: int = 13 * 1024 * 1024) -> int:
     w_bytes = 2 * h * h * sd_bytes
     carries = 2 * 2 * b * h * 4
+    # divisibility NOT required: the wrapper zero-pads gx (gru_pallas_v2)
     for c in (8, 4, 2, 1):
-        if t % c:
-            continue
         bufs = (2 * 2 * c * b * h * 2 + 4 * c * b * h) * sd_bytes
         if bufs + w_bytes + carries <= budget:
             return c
@@ -330,29 +341,34 @@ def rnn_bidir_v2(
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
-    gx = jax.lax.dot_general(
-        x.reshape(t * b, -1).astype(compute_dtype), w_cat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=sd,
-    ).reshape(t, b, 2 * h)
     if chunk is None:
         chunk = _pick_chunk(t, b, h, jnp.dtype(sd).itemsize)
         if chunk == 0:
             raise ValueError("no v2 chunk fits VMEM; use the v1 path")
+    tp = -(-t // chunk) * chunk
+    if tp != t:
+        # pad BEFORE the gx dot: zero input rows give zero gx rows
+        # (bias-free cells); rows [0, t) are unchanged (gru_pallas_v2)
+        x = jnp.pad(x, ((0, tp - t), (0, 0), (0, 0)))
+    w_cat = jnp.concatenate([w_ih[0], w_ih[1]], axis=1).astype(compute_dtype)
+    gx = jax.lax.dot_general(
+        x.reshape(tp * b, -1).astype(compute_dtype), w_cat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=sd,
+    ).reshape(tp, b, 2 * h)
     if train:
         ys_store = rnn_scan_v2(gx, w_hh.astype(jnp.float32), chunk, interpret)
         return ys_store[1:t + 1].astype(jnp.float32)
     interp = _auto_interpret(interpret)
     ys = _fwd_pallas(gx, w_hh.astype(jnp.float32), chunk, interp,
                      with_guard=False)
-    return ys.astype(jnp.float32)
+    return ys[:t].astype(jnp.float32)
 
 
 def rnn_v2_ok(t: int, b: int, h: int, compute_dtype) -> bool:
     # v2 buffers are per-direction: the sublane dim is b (not the v1
     # stacked 2B), so the bf16 min-tile check must see b itself
     sd = stream_dtype_for(compute_dtype, b)
-    # odd t falls to chunk=1 in _pick_chunk (see gru_pallas_v2.py)
+    # any t: the wrapper zero-pads gx to a chunk multiple (gru_pallas_v2)
     return (t >= 1 and h % 128 == 0 and (2 * b) % 8 == 0
             and _pick_chunk(t, b, h, jnp.dtype(sd).itemsize) > 0)
