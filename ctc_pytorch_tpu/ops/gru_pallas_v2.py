@@ -138,8 +138,10 @@ def _make_fwd_kernel(chunk: int, t_max: int, b: int, h: int, sd,
 
 
 def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
+    from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import _use_hoist
     n_chunks = t_max // chunk
     h3 = 3 * h
+    use_hoist = _use_hoist(chunk, b, h)
 
     def kernel(gx_hbm, w_ref, ys_hbm, dy_hbm, dgx_hbm, dhhn_hbm,
                gf_buf, gb_buf, hp0_buf, hp1_buf, dy0_buf, dy1_buf,
@@ -231,35 +233,38 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
             # all LINEAR in dh_t = dy + dh, so the serial chain is just
             # that add, three fused multiplies, and the dpre @ W^T dot.
             # (fp32 multiply reassociation: ulp-level differences only.)
+            # Gated by _use_hoist (see lstm_pallas_train_v2): at chunk=1
+            # with large h the pre-pass VMEM pressure erases the win.
             dd = w_ref.dtype
-            hp2a = jnp.stack([hp0_buf[:], hp1_buf[:]])  # (2, c, b, h)
-            hh = jax.lax.dot_general(
-                hp2a.reshape(2, chunk * b, h).astype(dd), w_ref[:],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(2, chunk, b, h3)
-            gxa = jnp.stack(
-                [gf_buf[slot], gb_buf[slot]]).astype(jnp.float32)
-            hpf = hp2a.astype(jnp.float32)
-            r = jax.nn.sigmoid(gxa[..., :h] + hh[..., :h])
-            z = jax.nn.sigmoid(gxa[..., h:2 * h] + hh[..., h:2 * h])
-            hh_n = hh[..., 2 * h:]
-            n = jnp.tanh(gxa[..., 2 * h:] + r * hh_n)
-            p_n = (1.0 - z) * (1.0 - n * n)          # dpre_n = dh_t * p_n
-            # lanes: [P_r | P_z | P_n | P_hn | z | dy], each h wide
-            pre = jnp.concatenate([
-                p_n * hh_n * (r * (1.0 - r)),        # dpre_r = dh_t * P_r
-                (hpf - n) * (z * (1.0 - z)),         # dpre_z = dh_t * P_z
-                p_n,
-                p_n * r,                             # dhh_n = dh_t * P_hn
-                z,
-                jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32),
-            ], axis=-1)  # (2, c, b, 6h)
-            # store in STEP order (dir0 walks its buffer rows in reverse);
-            # static unroll (chunk <= 8) -- Mosaic has no rev/value-slice
-            for j in range(chunk):
-                pre_buf[j, 0] = pre[0, chunk - 1 - j]
-                pre_buf[j, 1] = pre[1, j]
+            if use_hoist:
+                hp2a = jnp.stack([hp0_buf[:], hp1_buf[:]])  # (2, c, b, h)
+                hh = jax.lax.dot_general(
+                    hp2a.reshape(2, chunk * b, h).astype(dd), w_ref[:],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(2, chunk, b, h3)
+                gxa = jnp.stack(
+                    [gf_buf[slot], gb_buf[slot]]).astype(jnp.float32)
+                hpf = hp2a.astype(jnp.float32)
+                r = jax.nn.sigmoid(gxa[..., :h] + hh[..., :h])
+                z = jax.nn.sigmoid(gxa[..., h:2 * h] + hh[..., h:2 * h])
+                hh_n = hh[..., 2 * h:]
+                n = jnp.tanh(gxa[..., 2 * h:] + r * hh_n)
+                p_n = (1.0 - z) * (1.0 - n * n)      # dpre_n = dh_t * p_n
+                # lanes: [P_r | P_z | P_n | P_hn | z | dy], each h wide
+                pre = jnp.concatenate([
+                    p_n * hh_n * (r * (1.0 - r)),    # dpre_r = dh_t * P_r
+                    (hpf - n) * (z * (1.0 - z)),     # dpre_z = dh_t * P_z
+                    p_n,
+                    p_n * r,                         # dhh_n = dh_t * P_hn
+                    z,
+                    jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32),
+                ], axis=-1)  # (2, c, b, 6h)
+                # STEP order (dir0 walks its buffer rows in reverse);
+                # static unroll (chunk <= 8): Mosaic has no rev/value-slice
+                for j in range(chunk):
+                    pre_buf[j, 0] = pre[0, chunk - 1 - j]
+                    pre_buf[j, 1] = pre[1, j]
 
             def step(k, dh):
                 r_ = chunk - 1 - k  # dir0 in-buffer row
@@ -280,7 +285,43 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
                     preferred_element_type=jnp.float32)
                 return dh_prev + dh_t * pk[..., 4 * h:5 * h]
 
-            dh_scr[:] = jax.lax.fori_loop(0, chunk, step, dh_scr[:])
+            def step_unhoisted(k, dh):
+                r_ = chunk - 1 - k  # dir0 in-buffer row
+                gx2 = jnp.stack([gf_buf[slot, r_], gb_buf[slot, k]])
+                hp2 = jnp.stack([hp0_buf[r_], hp1_buf[k]])
+                dy2 = jnp.stack([dy0_buf[r_], dy1_buf[k]])
+                hh_s = jax.lax.dot_general(
+                    hp2.astype(dd), w_ref[:],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                gx2f = gx2.astype(jnp.float32)
+                hpf_s = hp2.astype(jnp.float32)
+                r = jax.nn.sigmoid(gx2f[..., :h] + hh_s[..., :h])
+                z = jax.nn.sigmoid(gx2f[..., h:2 * h] + hh_s[..., h:2 * h])
+                hh_n = hh_s[..., 2 * h:]
+                n = jnp.tanh(gx2f[..., 2 * h:] + r * hh_n)
+                dh_t = dy2.astype(jnp.float32) + dh
+                dz = dh_t * (hpf_s - n)
+                dn = dh_t * (1.0 - z)
+                dpre_n = dn * (1.0 - n * n)
+                dr = dpre_n * hh_n
+                dpre_r = dr * r * (1.0 - r)
+                dpre_z = dz * z * (1.0 - z)
+                dhh_n = dpre_n * r
+                dpre = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+                dg0_buf[slot, r_] = dpre[0].astype(sd)
+                dg1_buf[slot, k] = dpre[1].astype(sd)
+                dn0_buf[slot, r_] = dhh_n[0].astype(sd)
+                dn1_buf[slot, k] = dhh_n[1].astype(sd)
+                dhh = jnp.concatenate([dpre_r, dpre_z, dhh_n], axis=-1)
+                dh_prev = jax.lax.dot_general(
+                    dhh.astype(dd), w_ref[:],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                return dh_prev + dh_t * z
+
+            body_fn = step if use_hoist else step_unhoisted
+            dh_scr[:] = jax.lax.fori_loop(0, chunk, body_fn, dh_scr[:])
             for d in dmas_out(slot, ci):
                 d.start()
             return ()
@@ -333,6 +374,7 @@ def _fwd_pallas(gx, w_hh, chunk, interpret, with_guard):
 
 
 def _bwd_pallas(gx, w_hh, ys_store, dy, chunk, interpret):
+    from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import _use_hoist as _uh
     t, b, h6 = gx.shape
     h = h6 // 6
     sd = gx.dtype
@@ -364,7 +406,9 @@ def _bwd_pallas(gx, w_hh, ys_store, dy, chunk, interpret):
             pltpu.VMEM((2, chunk, b, 3 * h), sd),
             pltpu.VMEM((2, chunk, b, h), sd),
             pltpu.VMEM((2, chunk, b, h), sd),
-            pltpu.VMEM((chunk, 2, b, 6 * h), jnp.float32),  # pre-pass
+            pltpu.VMEM(
+                (chunk, 2, b, 6 * h) if _uh(chunk, b, h)
+                else (1, 1, 8, 128), jnp.float32),  # pre-pass (or dummy)
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.SemaphoreType.DMA((6, 2)),
             pltpu.SemaphoreType.DMA((4, 2)),

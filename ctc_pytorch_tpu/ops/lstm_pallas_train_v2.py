@@ -187,9 +187,58 @@ def _make_fwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
 # backward kernel: un-hoisted gates, dual-direction walk, emits dgx
 # ---------------------------------------------------------------------------
 
+def _use_hoist(chunk: int, b: int, h: int) -> bool:
+    # measured crossover (same-process A/B, v5e): the hoisted pre-pass
+    # wins everywhere except chunk=1 at large h, where its VMEM pressure
+    # (pre_buf + transient gate planes at 7h/4h lanes) erases the win
+    # ((80,128,384) bf16: old 0.80-1.14 vs new 1.15-1.26 ms/layer;
+    # (95,128,256): old 0.52-0.64 vs new 0.43-0.55)
+    return chunk >= 2 or b * h <= 128 * 256
+
+
+def _lstm_prepass(chunk, b, h, h4, w_ref, gf_buf, gb_buf, hp0_buf, hp1_buf,
+                  cs0_buf, cs1_buf, dy0_buf, dy1_buf, pre_buf, slot):
+    dd = w_ref.dtype
+    hp2a = jnp.stack([hp0_buf[:], hp1_buf[:]])  # (2, c, b, h)
+    hh = jax.lax.dot_general(
+        hp2a.reshape(2, chunk * b, h).astype(dd), w_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(2, chunk, b, h4)
+    gates = jnp.stack(
+        [gf_buf[slot], gb_buf[slot]]).astype(jnp.float32) + hh
+    i = jax.nn.sigmoid(gates[..., :h])
+    f = jax.nn.sigmoid(gates[..., h:2 * h])
+    g = jnp.tanh(gates[..., 2 * h:3 * h])
+    o = jax.nn.sigmoid(gates[..., 3 * h:])
+    # per-direction (c_prev, c_t) pairs are adjacent row ranges
+    ct = jnp.stack([cs0_buf[1:chunk + 1], cs1_buf[0:chunk]]
+                   ).astype(jnp.float32)
+    cpv = jnp.stack([cs0_buf[0:chunk], cs1_buf[1:chunk + 1]]
+                    ).astype(jnp.float32)
+    tc = jnp.tanh(ct)
+    dy = jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32)
+    # lanes: [A | Gi | Gf | Gg | Go | f | dy], each h wide
+    pre = jnp.concatenate([
+        o * (1.0 - tc * tc),       # A: dct factor of dh_t
+        g * (i * (1.0 - i)),       # Gi: dpre_i = dct * Gi
+        cpv * (f * (1.0 - f)),     # Gf: dpre_f = dct * Gf
+        i * (1.0 - g * g),         # Gg: dpre_g = dct * Gg
+        tc * (o * (1.0 - o)),      # Go: dpre_o = dh_t * Go
+        f,                         # dc_prev = dct * f
+        dy,
+    ], axis=-1)  # (2, c, b, 7h)
+    # store in STEP order (dir0 walks its buffer rows in reverse);
+    # static unroll (chunk <= 8) -- Mosaic has no rev/value-slice
+    for j in range(chunk):
+        pre_buf[j, 0] = pre[0, chunk - 1 - j]
+        pre_buf[j, 1] = pre[1, j]
+
+
 def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
     n_chunks = t_max // chunk
     h4 = 4 * h
+    use_hoist = _use_hoist(chunk, b, h)
 
     def kernel(gx_hbm, w_ref, ys_hbm, cs_hbm, dy_hbm, dgx_hbm,
                gf_buf, gb_buf, hp0_buf, hp1_buf, cs0_buf, cs1_buf,
@@ -284,42 +333,14 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
             # Folding the gate jacobians into carry-free factors reassociates
             # fp32 multiplies (e.g. (dct*g)*i*(1-i) -> dct*(g*i*(1-i))):
             # same math, ulp-level differences only.
+            # Gated by _use_hoist: at chunk=1 with large h the pre-pass
+            # VMEM pressure (measured at (80,128,384) bf16) erases the
+            # win; the un-hoisted step below serves that corner.
             dd = w_ref.dtype
-            hp2a = jnp.stack([hp0_buf[:], hp1_buf[:]])  # (2, c, b, h)
-            hh = jax.lax.dot_general(
-                hp2a.reshape(2, chunk * b, h).astype(dd), w_ref[:],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(2, chunk, b, h4)
-            gates = jnp.stack(
-                [gf_buf[slot], gb_buf[slot]]).astype(jnp.float32) + hh
-            i = jax.nn.sigmoid(gates[..., :h])
-            f = jax.nn.sigmoid(gates[..., h:2 * h])
-            g = jnp.tanh(gates[..., 2 * h:3 * h])
-            o = jax.nn.sigmoid(gates[..., 3 * h:])
-            # per-direction (c_prev, c_t) pairs are adjacent row ranges
-            ct = jnp.stack([cs0_buf[1:chunk + 1], cs1_buf[0:chunk]]
-                           ).astype(jnp.float32)
-            cpv = jnp.stack([cs0_buf[0:chunk], cs1_buf[1:chunk + 1]]
-                            ).astype(jnp.float32)
-            tc = jnp.tanh(ct)
-            dy = jnp.stack([dy0_buf[:], dy1_buf[:]]).astype(jnp.float32)
-
-            # lanes: [A | Gi | Gf | Gg | Go | f | dy], each h wide
-            pre = jnp.concatenate([
-                o * (1.0 - tc * tc),       # A: dct factor of dh_t
-                g * (i * (1.0 - i)),       # Gi: dpre_i = dct * Gi
-                cpv * (f * (1.0 - f)),     # Gf: dpre_f = dct * Gf
-                i * (1.0 - g * g),         # Gg: dpre_g = dct * Gg
-                tc * (o * (1.0 - o)),      # Go: dpre_o = dh_t * Go
-                f,                         # dc_prev = dct * f
-                dy,
-            ], axis=-1)  # (2, c, b, 7h)
-            # store in STEP order (dir0 walks its buffer rows in reverse);
-            # static unroll (chunk <= 8) -- Mosaic has no rev/value-slice
-            for j in range(chunk):
-                pre_buf[j, 0] = pre[0, chunk - 1 - j]
-                pre_buf[j, 1] = pre[1, j]
+            if use_hoist:
+                _lstm_prepass(chunk, b, h, h4, w_ref, gf_buf, gb_buf,
+                              hp0_buf, hp1_buf, cs0_buf, cs1_buf,
+                              dy0_buf, dy1_buf, pre_buf, slot)
 
             def step(k, carry):
                 dh, dc = carry
@@ -342,7 +363,45 @@ def _make_bwd_kernel(chunk: int, t_max: int, b: int, h: int, sd):
                 dc_prev = dct * pk[..., 5 * h:6 * h]
                 return dh_prev, dc_prev
 
-            dh, dc = jax.lax.fori_loop(0, chunk, step, (dh_scr[:], dc_scr[:]))
+            def step_unhoisted(k, carry):
+                dh, dc = carry
+                r = chunk - 1 - k
+                gx2 = jnp.stack([gf_buf[slot, r], gb_buf[slot, k]])
+                hp2 = jnp.stack([hp0_buf[r], hp1_buf[k]])
+                cprev2 = jnp.stack([cs0_buf[r], cs1_buf[k + 1]])
+                ct2 = jnp.stack([cs0_buf[r + 1], cs1_buf[k]])
+                dy2 = jnp.stack([dy0_buf[r], dy1_buf[k]])
+                hh_s = jax.lax.dot_general(
+                    hp2.astype(dd), w_ref[:],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                gates_s = gx2.astype(jnp.float32) + hh_s
+                i_ = jax.nn.sigmoid(gates_s[..., :h])
+                f_ = jax.nn.sigmoid(gates_s[..., h:2 * h])
+                g_ = jnp.tanh(gates_s[..., 2 * h:3 * h])
+                o_ = jax.nn.sigmoid(gates_s[..., 3 * h:])
+                tc_ = jnp.tanh(ct2.astype(jnp.float32))
+                dh_t = dy2.astype(jnp.float32) + dh
+                do = dh_t * tc_
+                dct = dc + dh_t * o_ * (1.0 - tc_ * tc_)
+                dpre = jnp.concatenate([
+                    dct * g_ * (i_ * (1.0 - i_)),
+                    dct * cprev2.astype(jnp.float32) * (f_ * (1.0 - f_)),
+                    dct * i_ * (1.0 - g_ * g_),
+                    do * (o_ * (1.0 - o_)),
+                ], axis=-1)
+                dg0_buf[slot, r] = dpre[0].astype(sd)
+                dg1_buf[slot, k] = dpre[1].astype(sd)
+                dh_prev = jax.lax.dot_general(
+                    dpre.astype(dd), w_ref[:],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                dc_prev = dct * f_
+                return dh_prev, dc_prev
+
+            body_fn = step if use_hoist else step_unhoisted
+            dh, dc = jax.lax.fori_loop(0, chunk, body_fn,
+                                       (dh_scr[:], dc_scr[:]))
             dh_scr[:] = dh
             dc_scr[:] = dc
             for d in dmas_out(slot, ci):
@@ -434,7 +493,9 @@ def _bwd_pallas(gx, w_hh, ys_store, cs_resid, dy, chunk, interpret):
             pltpu.VMEM((chunk, b, h), sd),  # dy dir1
             pltpu.VMEM((2, chunk, b, 4 * h), sd),  # dgx dir0
             pltpu.VMEM((2, chunk, b, 4 * h), sd),  # dgx dir1
-            pltpu.VMEM((chunk, 2, b, 7 * h), jnp.float32),  # pre-pass
+            pltpu.VMEM(
+                (chunk, 2, b, 7 * h) if _use_hoist(chunk, b, h)
+                else (1, 1, 8, 128), jnp.float32),  # pre-pass (or dummy)
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.VMEM((2, b, h), jnp.float32),
             pltpu.SemaphoreType.DMA((8, 2)),

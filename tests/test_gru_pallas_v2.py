@@ -51,6 +51,29 @@ def test_v2_gru_matches_v1(t, b, f, h, chunk):
                                atol=1e-7)
 
 
+def test_unhoisted_backward_matches_hoisted(monkeypatch):
+    """GRU chunk=1/large-h un-hoisted backward equals the hoisted pre-pass.
+
+    gru_pallas_v2 reuses lstm_pallas_train_v2._use_hoist (imported at call
+    time), so patching it there forces the un-hoisted branch here too.
+    """
+    import ctc_pytorch_tpu.ops.lstm_pallas_train_v2 as lv2
+
+    x, w_ih, w_hh = _setup(7, 2, 6, 4)
+
+    def loss(x, wi, wh):
+        out = gru_bidir_v2(x, wi, wh, chunk=1, interpret=True)
+        return jnp.sum(out ** 2)
+
+    v_h, g_h = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w_ih, w_hh)
+    monkeypatch.setattr(lv2, "_use_hoist", lambda c, b, h: False)
+    v_u, g_u = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w_ih, w_hh)
+    np.testing.assert_allclose(float(v_u), float(v_h), rtol=1e-6)
+    for name, a, b_ in zip(("dx", "dw_ih", "dw_hh"), g_u, g_h):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
 def test_gru_v2_ok_gate():
     assert gru_v2_ok(200, 128, 256, jnp.bfloat16)
     assert gru_v2_ok(201, 128, 256, jnp.bfloat16)  # odd T -> chunk=1

@@ -50,6 +50,38 @@ def test_v2_train_matches_v1(t, b, f, h, chunk):
                                    rtol=1e-5, atol=1e-6, err_msg=name)
 
 
+def test_unhoisted_backward_matches_hoisted(monkeypatch):
+    """The chunk=1/large-h un-hoisted backward equals the hoisted pre-pass.
+
+    _use_hoist picks the un-hoisted serial step only at chunk=1 with
+    b*h > 128*256 (VMEM pressure erases the hoist's win there); force it
+    at a tiny shape so interpret mode covers the branch.
+    """
+    import ctc_pytorch_tpu.ops.lstm_pallas_train_v2 as lv2
+
+    x, w_ih, w_hh = _setup(7, 2, 6, 4)
+
+    def loss(x, wi, wh):
+        out = lstm_bidir_train_v2(x, wi, wh, chunk=1, interpret=True)
+        return jnp.sum(out ** 2)
+
+    v_h, g_h = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w_ih, w_hh)
+    monkeypatch.setattr(lv2, "_use_hoist", lambda c, b, h: False)
+    v_u, g_u = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, w_ih, w_hh)
+    np.testing.assert_allclose(float(v_u), float(v_h), rtol=1e-6)
+    for name, a, b_ in zip(("dx", "dw_ih", "dw_hh"), g_u, g_h):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_use_hoist_crossover():
+    from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import _use_hoist
+
+    assert _use_hoist(2, 128, 384)       # chunked: always hoist
+    assert _use_hoist(1, 128, 256)       # small plane: hoist
+    assert not _use_hoist(1, 128, 384)   # chunk=1 large h: un-hoisted
+
+
 def test_train_v2_ok_gate():
     assert train_v2_ok(80, 128, 384, jnp.bfloat16)
     assert train_v2_ok(81, 128, 384, jnp.bfloat16)  # odd T -> chunk=1
