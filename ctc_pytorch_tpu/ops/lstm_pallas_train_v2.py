@@ -18,12 +18,16 @@ of them:
   so both directions' (c_prev, c_t) pairs are adjacent-row reads.
 - the backward kernel recomputes the gate pre-activations from
   gx + h_prev IN-KERNEL instead of materializing an (T, B, 8H) gates
-  plane in HBM (the dominant v1 backward traffic) — and hoists that
-  recomputation out of the serial loop as ONE chunk-batched MXU dot
-  plus a vectorized transcendental pre-pass, folding the gate
-  jacobians into carry-free factor planes.  The serial chain is then
-  just two multiplies and the ``dpre @ W_hh^T`` dot per step: measured
-  0.65 -> 0.12 ms/layer fwd+bwd at (95,128,256) bf16 on v5e.
+  plane in HBM (the dominant v1 backward traffic) — and, where
+  ``_use_hoist`` says it pays, hoists that recomputation out of the
+  serial loop as ONE chunk-batched MXU dot plus a vectorized
+  transcendental pre-pass, folding the gate jacobians into carry-free
+  factor planes.  The serial chain is then just two multiplies and the
+  ``dpre @ W_hh^T`` dot per step: measured 0.65 -> 0.12 ms/layer
+  fwd+bwd at (95,128,256) bf16 on v5e.  At chunk=1 with large b*h the
+  pre-pass VMEM pressure erases the win (docs/KERNELS.md "backward
+  gate-hoist"), so the kernel keeps an un-hoisted serial step for that
+  corner.
 - ``dW_hh`` contracts shifted row slices of ys_store against dgx lanes
   outside the kernel (two XLA dots); dW_ih/dx fall out of the gx dot's
   autodiff as in v1.
