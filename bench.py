@@ -215,7 +215,23 @@ def get_baseline() -> float:
     return val
 
 
-def bench_decode_rtf() -> dict:
+def _min_over(inputs, fn) -> float:
+    """Best-of-N wall time of ``fn(x)`` over DISTINCT inputs.
+
+    Single-shot timings on the tunneled rig swing 2x+ with RTT noise and
+    host load, and repeating the SAME input values can trip the tunnel's
+    content-addressed call elision (docs/KERNELS.md methodology rule) —
+    so every repetition gets its own input and the minimum is reported
+    (the repetitions with the least rig interference)."""
+    best = float("inf")
+    for x in inputs:
+        t0 = time.perf_counter()
+        fn(x)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_decode_rtf(reps: int = 3) -> dict:
     """Greedy and beam decode real-time factors on the flagship model.
 
     Audio seconds per utterance = T post-skip frames x skip x 10 ms shift.
@@ -239,25 +255,20 @@ def bench_decode_rtf() -> dict:
         return CTCModel.apply(spec, params, state, feats)[0]
 
     rng = np.random.RandomState(0)
-    feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    feats_set = [jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+                 for _ in range(reps + 1)]
     audio_seconds = B * T * 2 * 0.010  # skip=2, 10ms shift
-    lp = forward(feats)
-    np.asarray(lp)  # warm + sync
-    t0 = time.perf_counter()
-    lp = forward(feats)
-    lp_host = np.asarray(lp)
-    fwd_s = time.perf_counter() - t0
+    lps = [np.asarray(forward(f)) for f in feats_set]  # [0] is the warm
+    fwd_s = _min_over(feats_set[1:], lambda f: np.asarray(forward(f)))
 
-    t_out = lp_host.shape[0]
+    t_out = lps[0].shape[0]
     sizes = np.full(B, int(0.95 * t_out), np.int32)
     int2char = {i: f"p{i}" for i in range(NUM_CLASS)}
     int2char[0] = "blank"
 
     g = GreedyDecoder(int2char)
-    g.decode(lp_host, sizes)  # warm the jitted collapse
-    t0 = time.perf_counter()
-    g.decode(lp_host, sizes)
-    greedy_s = time.perf_counter() - t0
+    g.decode(lps[0], sizes)  # warm the jitted collapse
+    greedy_s = _min_over(lps[1:], lambda lp: g.decode(lp, sizes))
 
     with tempfile.TemporaryDirectory() as td:
         units = [f"p{i}" for i in range(1, NUM_CLASS)]
@@ -265,25 +276,19 @@ def bench_decode_rtf() -> dict:
         train_bigram_lm(sents, f"{td}/lm.arpa")
         bd = BeamDecoder(int2char, beam_width=10, lm_path=f"{td}/lm.arpa",
                          lm_alpha=0.1)
-        t0 = time.perf_counter()
-        bd.decode(lp_host, sizes)
-        beam_s = time.perf_counter() - t0
+        beam_s = _min_over(lps[1:], lambda lp: bd.decode(lp, sizes))
         # on-device batched beam (decode/beam_device.py)
-        bd.decode_on_device(lp_host, sizes)  # warm
-        t0 = time.perf_counter()
-        bd.decode_on_device(lp_host, sizes)
-        beam_dev_s = time.perf_counter() - t0
+        bd.decode_on_device(lps[0], sizes)  # warm
+        beam_dev_s = _min_over(
+            lps[1:], lambda lp: bd.decode_on_device(lp, sizes))
         # beam=20: the north-star decode config (BASELINE #3) — the
         # reference default is even wider (200, ctcDecoder.py:171)
         bd20 = BeamDecoder(int2char, beam_width=20, lm_path=f"{td}/lm.arpa",
                            lm_alpha=0.1)
-        t0 = time.perf_counter()
-        bd20.decode(lp_host, sizes)
-        beam20_s = time.perf_counter() - t0
-        bd20.decode_on_device(lp_host, sizes)  # warm
-        t0 = time.perf_counter()
-        bd20.decode_on_device(lp_host, sizes)
-        beam20_dev_s = time.perf_counter() - t0
+        beam20_s = _min_over(lps[1:], lambda lp: bd20.decode(lp, sizes))
+        bd20.decode_on_device(lps[0], sizes)  # warm
+        beam20_dev_s = _min_over(
+            lps[1:], lambda lp: bd20.decode_on_device(lp, sizes))
 
     from ctc_pytorch_tpu import native
 
@@ -319,14 +324,13 @@ def bench_863_beam(beam_width: int = 20) -> dict:
         return CTCModel.apply(spec, params, state, feats)[0]
 
     rng = np.random.RandomState(0)
-    b, t = 32, 392
-    feats = jnp.asarray(rng.randn(b, t, 201).astype(np.float32))
+    b, t, reps = 32, 392, 3
+    feats_set = [jnp.asarray(rng.randn(b, t, 201).astype(np.float32))
+                 for _ in range(reps + 1)]
     audio_seconds = b * t * 0.010
-    lp_host = np.asarray(forward(feats))  # warm + sync
-    t0 = time.perf_counter()
-    lp_host = np.asarray(forward(feats))
-    fwd_s = time.perf_counter() - t0
-    t_out = lp_host.shape[0]
+    lps = [np.asarray(forward(f)) for f in feats_set]  # [0] is the warm
+    fwd_s = _min_over(feats_set[1:], lambda f: np.asarray(forward(f)))
+    t_out = lps[0].shape[0]
     sizes = np.full(b, int(0.95 * t_out), np.int32)
 
     int2char = {i: f"sy{i}" for i in range(spec.num_class)}
@@ -337,13 +341,10 @@ def bench_863_beam(beam_width: int = 20) -> dict:
         train_bigram_lm(sents, f"{td}/lm.arpa")
         bd = BeamDecoder(int2char, beam_width=beam_width,
                          lm_path=f"{td}/lm.arpa", lm_alpha=0.1)
-        t0 = time.perf_counter()
-        bd.decode(lp_host, sizes)
-        host_s = time.perf_counter() - t0
-        bd.decode_on_device(lp_host, sizes)  # warm
-        t0 = time.perf_counter()
-        bd.decode_on_device(lp_host, sizes)
-        dev_s = time.perf_counter() - t0
+        host_s = _min_over(lps[1:], lambda lp: bd.decode(lp, sizes))
+        bd.decode_on_device(lps[0], sizes)  # warm
+        dev_s = _min_over(
+            lps[1:], lambda lp: bd.decode_on_device(lp, sizes))
     return {
         f"863_beam{beam_width}_decode_rtf": (fwd_s + host_s) / audio_seconds,
         f"863_beam{beam_width}_device_rtf": (fwd_s + dev_s) / audio_seconds,
