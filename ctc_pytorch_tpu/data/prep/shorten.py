@@ -164,6 +164,14 @@ def _rounded_shift_down(x: int, n: int) -> int:
     return x if n == 0 else ((x >> (n - 1)) + 1) >> 1
 
 
+def _cdiv(a: int, b: int) -> int:
+    """C integer division: truncates toward zero (shorten.c computes the
+    nmean offsets with plain C ``/`` on longs, which differs from Python's
+    floor ``//`` whenever the block sum is negative)."""
+    q = abs(a) // b
+    return q if (a >= 0) == (b >= 0) else -q
+
+
 def decode_shorten(data: bytes, max_samples: int | None = None) -> tuple:
     """Decode a shorten stream -> (samples int32 array [n, nchan] squeezed
     to 1-D for mono, ftype).  u-law/A-law payloads are expanded to linear
@@ -242,8 +250,8 @@ def decode_shorten(data: bytes, max_samples: int | None = None) -> tuple:
             coffset = cbuf[0]
         else:
             s = (0 if version < 2 else nmean // 2) + sum(cbuf)
-            coffset = (s // nmean if version < 2
-                       else _rounded_shift_down(s // nmean, bitshift))
+            coffset = (_cdiv(s, nmean) if version < 2
+                       else _rounded_shift_down(_cdiv(s, nmean), bitshift))
 
         if cmd == FN_ZERO:
             block = np.zeros(nblock, np.int64)
@@ -277,7 +285,7 @@ def decode_shorten(data: bytes, max_samples: int | None = None) -> tuple:
         if nmean > 0:
             s = (0 if version < 2 else nblock // 2) + int(block.sum())
             cbuf.pop(0)
-            m = s // nblock
+            m = _cdiv(s, nblock)
             if version >= 2 and bitshift > 0:
                 m <<= bitshift
             cbuf.append(m)
@@ -347,7 +355,7 @@ def encode_shorten(
             coffset = cbuf[0]
         else:
             s = nmean // 2 + sum(cbuf)
-            coffset = _rounded_shift_down(s // nmean, 0)
+            coffset = _rounded_shift_down(_cdiv(s, nmean), 0)
         prev = np.concatenate([hist, block])
         cands = {
             FN_DIFF0: block - coffset,
@@ -369,7 +377,7 @@ def encode_shorten(
         if nmean > 0:
             s = nblock // 2 + int(block.sum())
             cbuf.pop(0)
-            cbuf.append(s // nblock)
+            cbuf.append(_cdiv(s, nblock))
         hist = prev[-NWRAP:]
     bw.uvar(FN_QUIT, FNSIZE)
     return MAGIC + bytes([version]) + bw.getvalue()

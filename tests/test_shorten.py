@@ -82,6 +82,48 @@ def test_hand_packed_bitshift_and_zero():
     np.testing.assert_array_equal(samples, [10, -6, 0, 0])
 
 
+def test_hand_packed_nmean_negative_blocks():
+    """v2 nmean=4 offset math uses C truncating division (shorten.c does
+    ``sum / nmean`` and ``sum / blocksize`` on longs, truncating toward
+    zero) — floor division diverges whenever a block sum is negative.
+
+    Hand derivation (blocksize 4, S16LH so offsets start [0,0,0,0]):
+      block 1: coffset = trunc((2 + 0)/4) = 0; DIFF0 res [-9,-5,-11,-7]
+               -> samples [-9,-5,-11,-7]; stored mean
+               trunc((2 - 32)/4) = -7   (floor would give -8)
+      block 2: coffset = trunc((2 + (0+0+0-7))/4) = trunc(-5/4) = -1
+               (floor: -2); DIFF0 res [1,2,3,4] -> samples [0,1,2,3];
+               stored mean trunc((2 + 6)/4) = 2
+      block 3: coffset = trunc((2 + (0-7+2))/4) = trunc(-3/4) = 0
+               (floor: -1); DIFF0 res [5,5,5,5] -> samples [5,5,5,5]
+    """
+    res_blocks = [[-9, -5, -11, -7], [1, 2, 3, 4], [5, 5, 5, 5]]
+    bits = (
+        _ulong_bits(sh.TYPE_S16LH, 3)
+        + _ulong_bits(1, 1)            # nchan
+        + _ulong_bits(4, 3)            # blocksize
+        + _ulong_bits(0, 0)            # maxnlpc
+        + _ulong_bits(4, 3)            # nmean = 4
+        + _ulong_bits(0, 0)            # nskip
+    )
+    for res in res_blocks:
+        bits += _uvar_bits(sh.FN_DIFF0, sh.FNSIZE)
+        bits += _uvar_bits(4, sh.ENERGYSIZE)
+        for r in res:
+            bits += _var_bits(r, 4)
+    bits += _uvar_bits(sh.FN_QUIT, sh.FNSIZE)
+    data = sh.MAGIC + bytes([2]) + _bits_to_bytes(bits)
+    samples, _ = sh.decode_shorten(data)
+    np.testing.assert_array_equal(
+        samples, [-9, -5, -11, -7, 0, 1, 2, 3, 5, 5, 5, 5])
+
+
+def test_cdiv_matches_c_semantics():
+    for a in range(-25, 26):
+        for b in (1, 2, 3, 4, 7):
+            assert sh._cdiv(a, b) == int(a / b), (a, b)
+
+
 def _speechlike(n: int, seed: int = 0) -> np.ndarray:
     rng = np.random.RandomState(seed)
     t = np.arange(n)
