@@ -474,7 +474,10 @@ def _pick_chunk(t: int, b: int, h: int, sd_bytes: int,
         bufs = (2 * 2 * c * b * 3 * h * 2 + 2 * 2 * c * b * h
                 + 4 * c * b * h) * sd_bytes
         # + the hoisted pre-pass (6h fp32 scratch + transient gate planes)
-        hoist = 20 * c * b * h * 4
+        # — only charged when _use_hoist actually hoists at this chunk
+        # (the un-hoisted kernel allocates a dummy (1,1,8,128) scratch)
+        from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import _use_hoist
+        hoist = 20 * c * b * h * 4 if _use_hoist(c, b, h) else 0
         if bufs + hoist + w_bytes + carries <= budget:
             return c
     return 0

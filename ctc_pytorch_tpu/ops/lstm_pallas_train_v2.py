@@ -565,8 +565,11 @@ def _pick_chunk(t: int, b: int, h: int, sd_bytes: int,
         # bwd footprint: (gx + dgx) double-buffered + 6 single small streams
         bufs = (2 * 2 * c * b * 4 * h * 2 + 6 * (c + 1) * b * h) * sd_bytes
         # + the hoisted pre-pass values (gates fp32 + 7 step-ordered
-        # carry-free factor planes, all (c, 2, b, h) fp32)
-        hoist = 24 * c * b * h * 4
+        # carry-free factor planes, all (c, 2, b, h) fp32) — only when the
+        # kernel actually hoists at this chunk (a dummy (1,1,8,128) scratch
+        # is allocated otherwise, so charging the full footprint would
+        # reject shapes that fit the un-hoisted kernel)
+        hoist = 24 * c * b * h * 4 if _use_hoist(c, b, h) else 0
         if bufs + hoist + w_bytes + carries <= budget:
             return c
     return 0

@@ -82,6 +82,24 @@ def test_use_hoist_crossover():
     assert not _use_hoist(1, 128, 384)   # chunk=1 large h: un-hoisted
 
 
+def test_pick_chunk_skips_hoist_bytes_when_unhoisted():
+    """At chunk=1 with b*h past the hoist crossover the kernel allocates
+    only a dummy scratch — the VMEM estimate must not charge the full
+    hoist footprint, or shapes that fit the un-hoisted chunk=1 kernel
+    get bounced to the slower v1/scan path (ADVICE r4, low)."""
+    from ctc_pytorch_tpu.ops.lstm_pallas_train_v2 import (
+        _pick_chunk, _use_hoist)
+
+    # (b=192, h=384) bf16: chunk=1 un-hoisted fits the 13 MiB budget,
+    # but bufs + the 24*c*b*h*4 hoist bytes would not
+    assert not _use_hoist(1, 192, 384)
+    assert _pick_chunk(80, 192, 384, 2) == 1
+
+    from ctc_pytorch_tpu.ops.gru_pallas_v2 import _pick_chunk as _pc_gru
+
+    assert _pc_gru(80, 224, 384, 2) >= 1
+
+
 def test_train_v2_ok_gate():
     assert train_v2_ok(80, 128, 384, jnp.bfloat16)
     assert train_v2_ok(81, 128, 384, jnp.bfloat16)  # odd T -> chunk=1
