@@ -231,6 +231,22 @@ def _min_over(inputs, fn) -> float:
     return best
 
 
+def _forward_timed(forward, feats_set) -> tuple:
+    """Run ``forward`` over the set once, timing each input's FIRST
+    execution (input [0] warms the compile and is untimed).  Timing a
+    *re-run* of an already-executed input would race the tunnel's
+    content-addressed call elision — this times only first executions,
+    so every measured call is real compute.  Returns (log-probs list,
+    best forward seconds)."""
+    lps = [np.asarray(forward(feats_set[0]))]
+    best = float("inf")
+    for f in feats_set[1:]:
+        t0 = time.perf_counter()
+        lps.append(np.asarray(forward(f)))
+        best = min(best, time.perf_counter() - t0)
+    return lps, best
+
+
 def bench_decode_rtf(reps: int = 3) -> dict:
     """Greedy and beam decode real-time factors on the flagship model.
 
@@ -258,8 +274,7 @@ def bench_decode_rtf(reps: int = 3) -> dict:
     feats_set = [jnp.asarray(rng.randn(B, T, F).astype(np.float32))
                  for _ in range(reps + 1)]
     audio_seconds = B * T * 2 * 0.010  # skip=2, 10ms shift
-    lps = [np.asarray(forward(f)) for f in feats_set]  # [0] is the warm
-    fwd_s = _min_over(feats_set[1:], lambda f: np.asarray(forward(f)))
+    lps, fwd_s = _forward_timed(forward, feats_set)  # [0] is the warm
 
     t_out = lps[0].shape[0]
     sizes = np.full(B, int(0.95 * t_out), np.int32)
@@ -328,8 +343,7 @@ def bench_863_beam(beam_width: int = 20) -> dict:
     feats_set = [jnp.asarray(rng.randn(b, t, 201).astype(np.float32))
                  for _ in range(reps + 1)]
     audio_seconds = b * t * 0.010
-    lps = [np.asarray(forward(f)) for f in feats_set]  # [0] is the warm
-    fwd_s = _min_over(feats_set[1:], lambda f: np.asarray(forward(f)))
+    lps, fwd_s = _forward_timed(forward, feats_set)  # [0] is the warm
     t_out = lps[0].shape[0]
     sizes = np.full(b, int(0.95 * t_out), np.int32)
 
@@ -509,7 +523,9 @@ def bench_epoch(only: "set | None" = None, recipe: str = "flagship") -> dict:
         out[pref + "corpus_utts"] = n_utts
         return out
 
-    # stage-4: forward + on-device greedy over the same loader
+    # stage-4: forward + on-device greedy over the same loader (the
+    # streaming per-batch loop — the reference's decode shape,
+    # test_ctc.py:69-112)
     @jax.jit
     def fwd(feats):
         lp, _ = CTCModel.apply(spec, state.params, state.model_state, feats)
@@ -530,6 +546,75 @@ def bench_epoch(only: "set | None" = None, recipe: str = "flagship") -> dict:
             ) * 2 * 0.010  # frames are post-skip(2); 10 ms shift
         decode_s = _time.perf_counter() - t0
     out["stage4_greedy_rtf"] = decode_s / max(total_audio, 1e-9)
+
+    # fused stage-4 (decode/fused.py): DeviceCachedLoader + ONE dispatch
+    # per bucket group — the decode-side twin of the fused train epochs
+    import tempfile
+
+    from ctc_pytorch_tpu.data.batching import DeviceCachedLoader as _DCL
+    from ctc_pytorch_tpu.decode.fused import make_fused_decode_fn
+    from ctc_pytorch_tpu.decode.ngram_lm import LanguageModel, train_bigram_lm
+
+    t0 = _time.perf_counter()
+    eval_cached = _DCL(SpeechDataLoader(ds, B, shuffle=False, num_buckets=4))
+    out["stage4_cache_build_s"] = _time.perf_counter() - t0
+
+    # a real bigram LM over the corpus transcripts for the beam configs
+    sents = [
+        line.split(None, 1)[1].strip()
+        for line in (corpus / "train" / "phn_text").read_text().splitlines()
+        if len(line.split(None, 1)) == 2
+    ]
+    int2char = vocab.index2word
+    with tempfile.TemporaryDirectory() as td:
+        train_bigram_lm(sents, f"{td}/lm.arpa")
+        lm_table = LanguageModel(f"{td}/lm.arpa").dense_table(
+            int2char, len(int2char))
+
+    fused_variants = [
+        ("stage4_greedy_rtf_fused",
+         make_fused_decode_fn(spec, state.params, state.model_state,
+                              mode="greedy")),
+        ("stage4_beam20_rtf_fused",
+         make_fused_decode_fn(spec, state.params, state.model_state,
+                              mode="beam", beam_width=20, beam_max_len=96,
+                              lm_table=lm_table, lm_alpha=0.1)),
+    ]
+    for key, fused in fused_variants:
+        for _ in range(2):  # first pass warms per-group compiles
+            t0 = _time.perf_counter()
+            total_audio = 0.0
+            for arrs, pos, mask, t_pad in eval_cached.epoch_groups(0):
+                toks, lens = fused(arrs, pos, t_pad)
+                np.asarray(toks), np.asarray(lens)
+                in_len = np.asarray(arrs["in_len"])
+                total_audio += float(
+                    np.sum(in_len[pos] * mask)) * 2 * 0.010
+            decode_s = _time.perf_counter() - t0
+        out[key] = decode_s / max(total_audio, 1e-9)
+
+    # streaming beam20 for the honest before/after (per-batch dispatch of
+    # the same on-device search)
+    from ctc_pytorch_tpu.decode.beam_device import batched_beam_search
+
+    lm_dev = jnp.asarray(lm_table, jnp.float32)
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        total_audio = 0.0
+        for batch in eval_loader:
+            lp = fwd(jnp.asarray(batch.feats))
+            sizes = jnp.asarray(
+                (batch.input_frac * lp.shape[0]).astype(np.int32))
+            probs = jnp.exp(lp).transpose(1, 0, 2)
+            seqs, lens, _sc = batched_beam_search(
+                probs, sizes, beam_width=20, max_len=96,
+                lm_table=lm_dev, lm_alpha=0.1)
+            np.asarray(seqs)
+            total_audio += float(
+                np.sum(batch.input_lengths * batch.example_mask)
+            ) * 2 * 0.010
+        decode_s = _time.perf_counter() - t0
+    out["stage4_beam20_rtf"] = decode_s / max(total_audio, 1e-9)
     out["corpus_utts"] = n_utts
     return out
 
