@@ -81,6 +81,27 @@ def evaluate(
         t_out = log_probs.shape[0]
         return log_probs, (frac * t_out).astype(jnp.int32)
 
+    # fused stage-4 (decode/fused.py): one jitted scan per bucket group
+    # over a device-resident cache — same strings, one dispatch per group
+    # instead of one per batch (the streaming loop below is the
+    # reference-shaped fallback and the parity/debug path)
+    if (
+        cfg.fused_decode
+        and cfg.decode_type in ("Greedy", "BeamDevice")
+        and frontend_fn is None
+        and mesh is None
+        and max_batches is None
+        and loader.batcher._assignment is not None
+    ):
+        from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+
+        est = DeviceCachedLoader.estimate_bytes(loader)
+        if est <= cfg.device_cache_max_gb * (1 << 30):
+            return _evaluate_fused(
+                cfg, spec, params, mstate, decoder, loader,
+                verbose=verbose, log=log,
+            )
+
     total_cer = total_wer = 0
     num_sentences = 0
     start = time.time()
@@ -132,6 +153,86 @@ def evaluate(
     log(f"word error rate on test set: {wer:.4f}")
     # sentence count, matching the reference's ``len(test_dataset)`` print
     # (test_ctc.py:112)
+    log(f"time used for decode {num_sentences} sentences: "
+        f"{minutes:.4f} minutes")
+    return {"cer": cer, "wer": wer, "decode_minutes": minutes}
+
+
+def _evaluate_fused(
+    cfg: Config, spec, params, mstate, decoder, loader,
+    *, verbose: bool = True, log=print,
+) -> dict:
+    """Stage-4 decode with one jitted scan per bucket group
+    (decode/fused.py) over a ``DeviceCachedLoader``.  Strings, CER/WER,
+    and prints match the streaming loop in ``evaluate`` exactly; only
+    dispatch granularity differs (``test_ctc.py:69-112`` contract)."""
+    from ctc_pytorch_tpu.data.batching import DeviceCachedLoader
+    from ctc_pytorch_tpu.decode.fused import make_fused_decode_fn
+
+    start = time.time()
+    cached = DeviceCachedLoader(loader)
+    if cfg.decode_type == "Greedy":
+        fused = make_fused_decode_fn(spec, params, mstate, mode="greedy")
+        hyp_str = decoder.scorer.to_string
+    else:
+        fused = make_fused_decode_fn(
+            spec, params, mstate, mode="beam",
+            beam_width=decoder.beam_width, beam_max_len=cfg.beam_max_len,
+            lm_table=decoder.lm_table, lm_alpha=decoder.lm_alpha,
+        )
+
+        # the streaming BeamDevice path joins tokens WITHOUT to_string's
+        # leading space (reference quirk, ctcDecoder.py:86-92) — match it
+        def hyp_str(toks, n):
+            return " ".join(decoder.int2char[int(t)] for t in toks[:n])
+
+    total_cer = total_wer = 0
+    num_sentences = 0
+    label_host: dict = {}  # bucket plane id -> host labels/lab_len
+    hit_capacity = 0
+    for arrs, pos, mask, t_pad, idx in cached.epoch_groups(
+        0, with_indices=True
+    ):
+        tokens, lens = fused(arrs, pos, t_pad)
+        tokens, lens = np.asarray(tokens), np.asarray(lens)
+        if cfg.decode_type == "BeamDevice":
+            hit_capacity += int((lens >= cfg.beam_max_len).sum())
+        key = id(arrs)
+        if key not in label_host:
+            label_host[key] = (np.asarray(arrs["labels"]),
+                               np.asarray(arrs["lab_len"]))
+        labels, lab_lens = label_host[key]
+        for bi in range(pos.shape[0]):
+            for i in range(pos.shape[1]):
+                if not mask[bi, i]:
+                    continue
+                row = pos[bi, i]
+                target = decoder.scorer.to_string(
+                    labels[row], int(lab_lens[row])
+                )
+                hyp = hyp_str(tokens[bi, i], int(lens[bi, i]))
+                if verbose:
+                    log(f"{cached._utts[int(idx[bi, i])]}")
+                    log(f"origin : {target}")
+                    log(f"decoded: {hyp}")
+                total_cer += decoder.scorer.cer(hyp, target)
+                total_wer += decoder.scorer.wer(hyp, target)
+                decoder.scorer.num_word += len(target.split())
+                decoder.scorer.num_char += len(target)
+                num_sentences += 1
+    if hit_capacity:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "BeamDevice: %d hypothesis(es) hit the max_len=%d capacity; "
+            "longer extensions were dropped — raise beam_max_len",
+            hit_capacity, cfg.beam_max_len,
+        )
+    minutes = (time.time() - start) / 60.0
+    cer = 100.0 * total_cer / max(decoder.scorer.num_char, 1)
+    wer = 100.0 * total_wer / max(decoder.scorer.num_word, 1)
+    log(f"character error rate on test set: {cer:.4f}")
+    log(f"word error rate on test set: {wer:.4f}")
     log(f"time used for decode {num_sentences} sentences: "
         f"{minutes:.4f} minutes")
     return {"cer": cer, "wer": wer, "decode_minutes": minutes}

@@ -158,6 +158,13 @@ class Config:
     # (measured 2.4x the streaming epoch rate on the tunneled v5e,
     # docs/KERNELS.md "Fused epochs").
     fused_epoch: bool = False
+    # stage-4 twin of fused_epoch: decode the test set as one jitted scan
+    # per bucket group over a DeviceCachedLoader (decode/fused.py) instead
+    # of streaming host batches.  Applies to Greedy and BeamDevice on a
+    # single device with feature inputs; falls back to streaming otherwise.
+    # Decoded strings and scores are identical; only dispatch granularity
+    # changes (see BENCH_EXTRA stage4_greedy_rtf_fused vs stage4_greedy_rtf).
+    fused_decode: bool = True
     feature_dim: int = 81
     output_class_dim: int = 39
     mel: bool = False

@@ -516,7 +516,7 @@ class DeviceCachedLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def epoch_groups(self, epoch: int):
+    def epoch_groups(self, epoch: int, with_indices: bool = False):
         """The epoch's batches grouped by static shape, for fused
         multi-step scans (``train.loop.run_epoch_fused``).
 
@@ -527,7 +527,12 @@ class DeviceCachedLoader:
         ``__iter__`` over the same epoch (both drive
         ``BucketBatcher.epoch_batches``); only the ORDER differs — batches
         are grouped by (bucket, t_pad, B) in order of first appearance,
-        within-group order preserved."""
+        within-group order preserved.
+
+        ``with_indices=True`` appends the (n_batches, B) matrix of DATASET
+        indices, so consumers that need per-utterance identity (the fused
+        stage-4 decoder printing origin/decoded pairs) can map device
+        results back to utterances."""
         groups: dict = {}
         order = []
         for indices, t_pad, _l_pad in self.loader.batcher.epoch_batches(
@@ -543,22 +548,26 @@ class DeviceCachedLoader:
             tp = int(t_pad or self._bucket_arrays[b_idx]["t_pad"])
             key = (b_idx, tp, len(idx))
             if key not in groups:
-                groups[key] = ([], [])
+                groups[key] = ([], [], [])
                 order.append(key)
             mask = np.ones((len(idx),), np.float32)
             if n_real < len(idx):
                 mask[n_real:] = 0.0
             groups[key][0].append(self._pos_in_bucket[idx])
             groups[key][1].append(mask)
+            groups[key][2].append(idx)
         for key in order:
             b_idx, tp, _ = key
-            poss, masks = groups[key]
-            yield (
+            poss, masks, idxs = groups[key]
+            out = (
                 self._bucket_arrays[b_idx],
                 np.stack(poss).astype(np.int32),
                 np.stack(masks).astype(np.float32),
                 tp,
             )
+            if with_indices:
+                out = out + (np.stack(idxs).astype(np.int64),)
+            yield out
 
     def __iter__(self):
         jnp = self._jnp

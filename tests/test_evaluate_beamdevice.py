@@ -64,9 +64,20 @@ def test_beamdevice_stage4(tmp_path):
 
     cfg.decode_type = "BeamDevice"
     cfg.beam_width = 4
+    # default path is the fused group decode (cfg.fused_decode=True)
     res_dev = evaluate(cfg, str(best), verbose=False, log=lambda *a: None)
+    cfg.fused_decode = False
+    res_stream = evaluate(cfg, str(best), verbose=False, log=lambda *a: None)
+    cfg.fused_decode = True
     cfg.decode_type = "Beam"
     res_host = evaluate(cfg, str(best), verbose=False, log=lambda *a: None)
-    # identical decodes -> identical error rates
-    assert res_dev["cer"] == res_host["cer"]
-    assert res_dev["wer"] == res_host["wer"]
+    # identical decodes -> identical error rates (fused == streaming == host)
+    assert res_dev["cer"] == res_host["cer"] == res_stream["cer"]
+    assert res_dev["wer"] == res_host["wer"] == res_stream["wer"]
+
+    cfg.decode_type = "Greedy"
+    res_gf = evaluate(cfg, str(best), verbose=False, log=lambda *a: None)
+    cfg.fused_decode = False
+    res_gs = evaluate(cfg, str(best), verbose=False, log=lambda *a: None)
+    assert res_gf["cer"] == res_gs["cer"]
+    assert res_gf["wer"] == res_gs["wer"]
