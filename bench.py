@@ -741,6 +741,122 @@ def bench_waveform(steps: int = 20, warmup: int = 4) -> dict:
     return out
 
 
+def bench_waveform_epoch(n_utts: int = 3696) -> dict:
+    """fused_epoch x waveform-in (the two north-star configs composed):
+    epoch rate of the waveform recipe through a DeviceCachedLoader of raw
+    sample planes, one jitted scan per bucket group, the frontend inside
+    the step (train/loop.py make_fused_fns(waveform=True)).  Also reports
+    the device-cached STREAMING epoch (per-batch dispatch, same cache) so
+    the fused gain is visible in the artifact."""
+    import dataclasses
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.data.batching import (
+        DeviceCachedLoader,
+        SpeechDataLoader,
+    )
+    from ctc_pytorch_tpu.frontend.e2e import (
+        WaveFrontendSpec,
+        build_frontend_fn,
+    )
+    from ctc_pytorch_tpu.frontend.features import FrontendConfig
+    from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+    from ctc_pytorch_tpu.train.loop import (
+        make_fused_fns,
+        make_step_fns,
+        run_epoch,
+        run_epoch_fused,
+    )
+    from ctc_pytorch_tpu.train.state import create_train_state
+
+    class _WavDataset:
+        """In-memory waveform corpus with the SpeechDataset surface the
+        loaders need (items/lengths/label_lengths/__getitem__)."""
+
+        def __init__(self, n: int, seed: int = 0):
+            rng = np.random.RandomState(seed)
+            self._lens = rng.randint(32000, 51200, size=n)  # 2.0-3.2 s
+            self._labels = [
+                rng.randint(1, NUM_CLASS, size=rng.randint(20, 40))
+                .tolist() for _ in range(n)
+            ]
+            self.items = [(f"u{i:05d}", None) for i in range(n)]
+
+        def __len__(self):
+            return len(self._lens)
+
+        def lengths(self):
+            return np.asarray(self._lens)
+
+        def label_lengths(self):
+            return np.asarray([len(l) for l in self._labels])
+
+        def __getitem__(self, i: int):
+            rng = np.random.RandomState(10_000 + i)
+            wav = (rng.randn(self._lens[i]) * 3000.0).astype(np.float32)
+            return wav[:, None], self._labels[i], self.items[i][0]
+
+    ds = _WavDataset(n_utts)
+    fe = WaveFrontendSpec(
+        feat_type="fbank", frontend=FrontendConfig(num_mel_bins=80),
+        left_ctx=0, right_ctx=2, n_skip_frame=2, n_downsample=2,
+    )
+    frontend_fn = build_frontend_fn(fe)
+    cfg = Config()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.dtype = "bfloat16"
+    spec = dataclasses.replace(
+        ModelSpec.from_config(cfg, num_class=NUM_CLASS), use_pallas_rnn=True
+    )
+    state, tx = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay
+    )
+    fns = make_step_fns(spec, tx, frontend_fn=frontend_fn, return_raw=True)
+    fused = make_fused_fns(fns[2:], waveform=True)
+    rng = jax.random.PRNGKey(1)
+    t0 = _time.perf_counter()
+    cached = DeviceCachedLoader(
+        SpeechDataLoader(ds, B, shuffle=True, num_buckets=4, seed=1)
+    )
+    out = {
+        "waveform_epoch_cache_build_s": _time.perf_counter() - t0,
+        "waveform_epoch_cache_gb": cached.total_bytes() / (1 << 30),
+    }
+    # fused: two warm epochs cover the power-of-two group-length set
+    for ep in (1, 2):
+        cached.set_epoch(ep)
+        state, _, _ = run_epoch_fused(ep, fused, state, cached,
+                                      training=True, rng=rng,
+                                      compute_wer=False,
+                                      log=lambda *a: None)
+    cached.set_epoch(3)
+    t0 = _time.perf_counter()
+    state, _, _ = run_epoch_fused(3, fused, state, cached, training=True,
+                                  rng=rng, compute_wer=False,
+                                  log=lambda *a: None)
+    out["waveform_epoch_utts_per_sec_fused"] = (
+        n_utts / (_time.perf_counter() - t0)
+    )
+    # device-cached streaming (per-batch dispatch, no H2D): the comparator
+    cached.set_epoch(4)
+    state, _, _ = run_epoch(4, fns[:2], state, cached, training=True,
+                            rng=rng, compute_wer=False, waveform=True,
+                            log=lambda *a: None)
+    cached.set_epoch(5)
+    t0 = _time.perf_counter()
+    state, _, _ = run_epoch(5, fns[:2], state, cached, training=True,
+                            rng=rng, compute_wer=False, waveform=True,
+                            log=lambda *a: None)
+    out["waveform_epoch_utts_per_sec_devcache"] = (
+        n_utts / (_time.perf_counter() - t0)
+    )
+    return out
+
+
 def bench_863(cell: str = "lstm", steps: int = 20, warmup: int = 4) -> float:
     """863 Mandarin flagship step rate: 201-d spectrum -> fixed conv
     1->16ch (11,5) s(2,2) Hardtanh(0,20) -> 4x Bi-RNN(256) -> 67 classes
@@ -834,6 +950,7 @@ def main(extra: bool = False) -> None:
             only={"_fused", "_fused_nower", "_devcache_nower"},
             recipe="863"))
         extras.update(bench_waveform())
+        extras.update(bench_waveform_epoch())
         for cell in ("lstm", "gru"):
             rate = bench_863(cell)
             extras[f"train_863_cnn_{cell}_utts_per_sec"] = rate

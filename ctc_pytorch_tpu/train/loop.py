@@ -159,7 +159,8 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
     return train_jit, eval_jit
 
 
-def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data"):
+def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
+                   waveform: bool = False):
     """Jitted per-bucket-group epoch runners over a device-resident cache.
 
     Each call runs a whole group of same-shape batches as one
@@ -191,6 +192,12 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data"):
     gathers and computes its own rows, and the loss/grad psums inside the
     raw step plus a final errs/toks psum are the only collectives — the
     same math as the streaming mesh path.
+
+    ``waveform=True`` composes the fused epoch with a step-fused frontend
+    (waveform-in training): the cached planes then hold padded raw samples
+    and ``in_len`` holds valid SAMPLE counts, which the step's frac slot
+    carries directly — the in-step frontend rewrites it to the frame-frac
+    contract (``run_epoch(waveform=True)``'s streaming equivalent).
     """
     train_step, eval_step = raw_step_fns
     axis = data_axis if mesh is not None else None
@@ -201,7 +208,8 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data"):
         labels = jnp.take(labels_all, p, axis=0)
         in_len = jnp.take(inlen_all, p, axis=0)
         lab_len = jnp.take(lablen_all, p, axis=0)
-        frac = in_len.astype(jnp.float32) / jnp.float32(t_pad)
+        frac = (in_len.astype(jnp.float32) if waveform
+                else in_len.astype(jnp.float32) / jnp.float32(t_pad))
         return feats, frac, labels, lab_len
 
     def fused_train(state, feats_all, labels_all, inlen_all, lablen_all,
@@ -493,13 +501,13 @@ class Trainer:
         self.step_fns = fns[:2]
         # fused per-bucket-group epoch runners (cfg.fused_epoch): host
         # dispatch leaves the hot path.  Composes with a data mesh (the
-        # fused scan runs under shard_map, pos/mask batch-sharded);
-        # waveform-in stays streaming (the frontend inside the step
-        # rewrites the frac slot to sample counts, which the cached
-        # gather contract does not carry).
+        # fused scan runs under shard_map, pos/mask batch-sharded) AND
+        # with waveform-in (the cached gather passes sample counts through
+        # the frac slot for the in-step frontend to rewrite).
         self.fused_fns = (
-            make_fused_fns(fns[2:], mesh, cfg.data_axis)
-            if cfg.fused_epoch and frontend_fn is None
+            make_fused_fns(fns[2:], mesh, cfg.data_axis,
+                           waveform=frontend_fn is not None)
+            if cfg.fused_epoch
             else None
         )
         self.scheduler = PlateauScheduler(
@@ -547,14 +555,11 @@ class Trainer:
             fuse_dev = self.fused_fns is not None and hasattr(
                 dev_loader, "epoch_groups")
             if cfg.fused_epoch and not fuse_train and self.epoch == 1:
-                reason = (
-                    "waveform frontend_fn rewrites the frac contract "
-                    "inside the step" if self.frontend_fn is not None else
-                    f"{type(train_loader).__name__} has no epoch_groups "
-                    "(a DeviceCachedLoader is required)"
+                log(
+                    "fused_epoch requested but running the streaming "
+                    f"path: {type(train_loader).__name__} has no "
+                    "epoch_groups (a DeviceCachedLoader is required)"
                 )
-                log(f"fused_epoch requested but running the streaming "
-                    f"path: {reason}")
             with profile_ctx(cfg.profile and self.epoch == 1,
                              self.out_dir / "profile"):
                 if fuse_train:

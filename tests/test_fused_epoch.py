@@ -225,6 +225,71 @@ def test_pad_group_canonical_lengths():
         assert (m2[k:] == 0).all()
 
 
+def test_fused_waveform_matches_streaming(tmp_path):
+    """fused_epoch x waveform-in: the cached gather passes SAMPLE counts
+    through the frac slot for the in-step frontend to rewrite — one epoch
+    must match the streaming run_epoch(waveform=True) exactly."""
+    from ctc_pytorch_tpu.data.prep.sphere import write_wav
+    from ctc_pytorch_tpu.frontend import FrontendConfig
+    from ctc_pytorch_tpu.frontend.e2e import (
+        WaveFrontendSpec, build_frontend_fn,
+    )
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    (tmp_path / "units").write_text("a\nb\nc\n")
+    with open(data / "wav.scp", "w") as scp, open(data / "lab", "w") as lab:
+        for i in range(8):
+            wav = (rng.randn(3200) * 800).astype(np.int16)
+            write_wav(data / f"u{i}.wav", wav)
+            scp.write(f"u{i} {data / f'u{i}.wav'}\n")
+            lab.write(f"u{i} " + " ".join(rng.choice(["a", "b", "c"], 3))
+                      + "\n")
+    cfg = Config()
+    cfg.feature_type = "waveform"
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.left_ctx = cfg.right_ctx = 0
+    cfg.n_skip_frame = cfg.n_downsample = 1
+    cfg.rnn_input_size = 13
+    cfg.rnn_hidden_size = 16
+    cfg.rnn_layers = 1
+    cfg.drop_out = 0.0
+    cfg.dtype = "float32"
+    cfg.init_lr = 5e-3
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, str(data / "wav.scp"), str(data / "lab"), cfg)
+    fe = build_frontend_fn(WaveFrontendSpec(
+        feat_type="fbank", frontend=FrontendConfig(num_mel_bins=12),
+        left_ctx=0, right_ctx=0, n_skip_frame=1, n_downsample=1,
+    ))
+    spec = ModelSpec.from_config(cfg, num_class=vocab.n_words)
+    state0, tx = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay)
+    fns = make_step_fns(spec, tx, frontend_fn=fe, return_raw=True)
+    fused = make_fused_fns(fns[2:], waveform=True)
+    rng_d = jax.random.PRNGKey(3)
+
+    dev_a, dev_b = _loader(ds), _loader(ds)
+    dev_a.loader.set_epoch(1)
+    st_s = jax.tree_util.tree_map(jnp.copy, state0)
+    st_s, acc_s, loss_s = run_epoch(
+        1, fns[:2], st_s, dev_a.loader, training=True, rng=rng_d,
+        waveform=True, log=lambda *a, **k: None)
+
+    dev_b.set_epoch(1)
+    st_f, acc_f, loss_f = run_epoch_fused(
+        1, fused, state0, dev_b, training=True, rng=rng_d,
+        log=lambda *a, **k: None)
+
+    assert loss_f == pytest.approx(loss_s, rel=1e-5)
+    assert acc_f == pytest.approx(acc_s, abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                    jax.tree_util.tree_leaves(st_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_trainer_uses_fused_path(tmp_path, monkeypatch):
     cfg, _, ds = _corpus(tmp_path, varied=False)
     cfg.fused_epoch = True
