@@ -243,6 +243,12 @@ class Config:
     model_file: str = ""  # best-checkpoint path written back after training
     least_train_epoch: int = 0  # no LR adjustment before this epoch
     scheduler_mode: str = "loss"  # 'loss' (timit) | 'acc' (863)
+    # 863-mode parity: after each train epoch, run a separate eval pass
+    # over the TRAINING set and report its greedy accuracy ("cer on
+    # training set", mislabeled in the reference —
+    # my_863_corpus/steps/cnn_lstm_ctc.py:203-205); recorded in the
+    # package as training_cer_results (acc*100, the reference's unit)
+    dev_over_train: bool = False
     log_dir: str = ""  # rotating file logs when set (863 recipe)
 
     # ------------------------------------------------------------------

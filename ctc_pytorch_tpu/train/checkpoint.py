@@ -43,6 +43,7 @@ def save_package(
     loss_results: Optional[list] = None,
     dev_loss_results: Optional[list] = None,
     dev_cer_results: Optional[list] = None,
+    training_cer_results: Optional[list] = None,  # 863 dev-over-train
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
     path = Path(path)
@@ -67,6 +68,7 @@ def save_package(
         "loss_results": loss_results or [],
         "dev_loss_results": dev_loss_results or [],
         "dev_cer_results": dev_cer_results or [],
+        "training_cer_results": training_cer_results or [],
         "extra": extra or {},
         "leaf_counts": {
             "params": sum(1 for k in arrays if k.startswith("params.")),

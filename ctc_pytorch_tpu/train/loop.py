@@ -519,6 +519,10 @@ class Trainer:
         self.histories: Dict[str, list] = {
             "loss_results": [], "dev_loss_results": [], "dev_cer_results": []
         }
+        if cfg.dev_over_train:
+            # 863-mode: per-epoch eval over the training set
+            # (my_863_corpus/steps/cnn_lstm_ctc.py:203-206)
+            self.histories["training_cer_results"] = []
         self._rollback = snapshot(self.state)
         self._best = snapshot(self.state)
         self.epoch = 0
@@ -575,6 +579,26 @@ class Trainer:
                         print_every=cfg.verbose_step, compute_wer=compute_wer,
                         waveform=wf, log=log,
                     )
+            if cfg.dev_over_train:
+                # reference 863 loop: a separate dev() pass over the
+                # TRAINING set each epoch; its accuracy*100 is the printed
+                # "cer on training set" (sic — the reference mislabels
+                # accuracy as cer, preserved for comparability)
+                if fuse_train:
+                    _, tr_eval_acc, _ = run_epoch_fused(
+                        self.epoch, self.fused_fns, self.state, train_loader,
+                        training=False, compute_wer=True, log=log,
+                    )
+                else:
+                    _, tr_eval_acc, _ = run_epoch(
+                        self.epoch, self.step_fns, self.state, train_loader,
+                        training=False, compute_wer=True, waveform=wf,
+                        log=log,
+                    )
+                log(f"cer on training set is {tr_eval_acc * 100:.4f}")
+                self.histories["training_cer_results"].append(
+                    tr_eval_acc * 100
+                )
             if fuse_dev:
                 _, dev_acc, dev_loss = run_epoch_fused(
                     self.epoch, self.fused_fns, self.state, dev_loader,

@@ -29,6 +29,56 @@ def test_863_conf_files_load():
     assert cfg2.cnn.output_freq_len(201) == 99
     spec = ModelSpec.from_config(cfg2, num_class=67)
     assert spec.rnn_in_after_cnn == 99 * 16
+    assert cfg.dev_over_train and cfg2.dev_over_train
+
+
+def test_dev_over_train_pass(tmp_path):
+    """863 parity: each epoch runs a separate eval over the TRAINING set
+    and records acc*100 as training_cer_results (the reference's
+    mislabeled "cer on training set", cnn_lstm_ctc.py:203-206)."""
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.data.batching import SpeechDataLoader
+    from ctc_pytorch_tpu.data.dataset import SpeechDataset
+    from ctc_pytorch_tpu.data.kaldi_io import ArkWriter
+    from ctc_pytorch_tpu.train.checkpoint import load_package
+    from ctc_pytorch_tpu.train.loop import Trainer
+    from ctc_pytorch_tpu.vocab import Vocab
+
+    rng = np.random.RandomState(0)
+    with ArkWriter(str(tmp_path / "f.ark"), str(tmp_path / "f.scp")) as w:
+        for i in range(8):
+            w.write(f"u{i}", rng.randn(20, 7).astype(np.float32))
+    (tmp_path / "units").write_text("a\nb\n")
+    with open(tmp_path / "lab", "w") as f:
+        for i in range(8):
+            f.write(f"u{i} " + " ".join(rng.choice(["a", "b"], 3)) + "\n")
+    cfg = Config()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.left_ctx = cfg.right_ctx = 0
+    cfg.n_skip_frame = cfg.n_downsample = 1
+    cfg.rnn_input_size = 7
+    cfg.rnn_hidden_size = 8
+    cfg.rnn_layers = 1
+    cfg.drop_out = 0.0
+    cfg.dtype = "float32"
+    cfg.scheduler_mode = "acc"
+    cfg.dev_over_train = True
+    cfg.save_every = 0
+    cfg.least_train_epoch = 0
+    vocab = Vocab(str(tmp_path / "units"))
+    ds = SpeechDataset(vocab, str(tmp_path / "f.scp"),
+                       str(tmp_path / "lab"), cfg)
+    mk = lambda: SpeechDataLoader(ds, 4, num_buckets=1)
+    tr = Trainer(cfg, ModelSpec.from_config(cfg, num_class=vocab.n_words),
+                 out_dir=str(tmp_path / "out"))
+    logs = []
+    best = tr.fit(mk(), mk(), num_epoches=2, log=logs.append)
+    assert len(tr.histories["training_cer_results"]) == 2
+    assert any("cer on training set is" in l for l in logs)
+    pkg = load_package(best)
+    assert pkg["manifest"]["training_cer_results"] == (
+        tr.histories["training_cer_results"]
+    )
 
 
 def test_timit_recipe_loads():
