@@ -857,6 +857,76 @@ def bench_waveform_epoch(n_utts: int = 3696) -> dict:
     return out
 
 
+def bench_streaming(seconds: float = 60.0, chunk_s: float = 0.5) -> dict:
+    """StreamingRecognizer datapoints (api.py): chunk-feed latency and
+    streaming RTF at the documented serving config — 10 s window, 0.5 s
+    chunks, greedy commit/lookahead.  The model is the waveform-serving
+    stack (fused 81-d fbank -> splice 243 -> 4x BiLSTM(384) -> 41
+    classes); there is no reference counterpart (serving is this
+    framework's own north-star surface)."""
+    import dataclasses
+    import tempfile
+
+    import jax
+
+    from ctc_pytorch_tpu.api import Recognizer, StreamingRecognizer
+    from ctc_pytorch_tpu.config import CNNConfig, Config
+    from ctc_pytorch_tpu.frontend.e2e import WaveFrontendSpec
+    from ctc_pytorch_tpu.frontend.features import FrontendConfig
+    from ctc_pytorch_tpu.models.ctc_model import ModelSpec
+    from ctc_pytorch_tpu.train import checkpoint as ckpt
+    from ctc_pytorch_tpu.train.state import create_train_state
+    from ctc_pytorch_tpu.vocab import Vocab
+
+    cfg = Config()
+    cfg.cnn = CNNConfig(add_cnn=False)
+    cfg.dtype = "bfloat16"
+    spec = dataclasses.replace(
+        ModelSpec.from_config(cfg, num_class=NUM_CLASS), use_pallas_rnn=True
+    )
+    state, _ = create_train_state(jax.random.PRNGKey(0), spec, 1e-3, 0.0)
+    rng = np.random.RandomState(0)
+    sr_hz = 16000
+    chunk = int(chunk_s * sr_hz)
+    n_chunks = int(seconds / chunk_s)
+
+    with tempfile.TemporaryDirectory() as td:
+        pkg = f"{td}/pkg.npz"
+        ckpt.save_package(pkg, spec, state, config=cfg)
+        units = f"{td}/units"
+        with open(units, "w") as f:
+            f.write("\n".join(f"p{i}" for i in range(1, NUM_CLASS - 1)))
+        rec = Recognizer(pkg, Vocab(units), frontend=WaveFrontendSpec(
+            feat_type="fbank", frontend=FrontendConfig(num_mel_bins=80),
+            left_ctx=0, right_ctx=2, n_skip_frame=2, n_downsample=2,
+        ))
+        stream = StreamingRecognizer(rec, window_seconds=10.0,
+                                     hop_seconds=chunk_s)
+        # warm pass: same chunking, fresh audio — compiles every
+        # power-of-two window bucket the timed pass will hit
+        for _ in range(n_chunks):
+            stream.feed((rng.randn(chunk) * 3000.0).astype(np.float32))
+        stream.finish()
+        lat = []
+        t_start = time.perf_counter()
+        for _ in range(n_chunks):
+            wav = (rng.randn(chunk) * 3000.0).astype(np.float32)
+            t0 = time.perf_counter()
+            stream.feed(wav)
+            lat.append(time.perf_counter() - t0)
+        stream.finish()
+        total = time.perf_counter() - t_start
+    lat_ms = np.asarray(lat) * 1e3
+    return {
+        "streaming_rtf": total / seconds,
+        "streaming_chunk_ms_p50": float(np.percentile(lat_ms, 50)),
+        "streaming_chunk_ms_p95": float(np.percentile(lat_ms, 95)),
+        "streaming_window_seconds": 10.0,
+        "streaming_chunk_seconds": chunk_s,
+        "streaming_audio_seconds": seconds,
+    }
+
+
 def bench_863(cell: str = "lstm", steps: int = 20, warmup: int = 4) -> float:
     """863 Mandarin flagship step rate: 201-d spectrum -> fixed conv
     1->16ch (11,5) s(2,2) Hardtanh(0,20) -> 4x Bi-RNN(256) -> 67 classes
@@ -951,6 +1021,7 @@ def main(extra: bool = False) -> None:
             recipe="863"))
         extras.update(bench_waveform())
         extras.update(bench_waveform_epoch())
+        extras.update(bench_streaming())
         for cell in ("lstm", "gru"):
             rate = bench_863(cell)
             extras[f"train_863_cnn_{cell}_utts_per_sec"] = rate
