@@ -489,20 +489,28 @@ def bench_epoch(only: "set | None" = None, recipe: str = "flagship") -> dict:
     from ctc_pytorch_tpu.train.loop import make_fused_fns, run_epoch_fused
 
     fused_fns = make_fused_fns(fns[2:])
-    for suffix, wer_on in [("_fused", True), ("_fused_nower", False)]:
+    # pregather: one vectorised take per group instead of per-step in-scan
+    # gathers — the A/B probing the fused-epoch residual (VERDICT r4 #7)
+    fused_pre = make_fused_fns(fns[2:], pregather=True)
+    for suffix, fused, wer_on in [
+        ("_fused", fused_fns, True),
+        ("_fused_nower", fused_fns, False),
+        ("_fused_pregather", fused_pre, True),
+        ("_fused_pregather_nower", fused_pre, False),
+    ]:
         if only is not None and suffix not in only:
             continue
         # two warm epochs cover the power-of-two group-length set the
         # quantized shuffle produces; the timed epoch is a third shuffle
         for ep in (1, 2):
             cached.set_epoch(ep)
-            state, _, _ = run_epoch_fused(ep, fused_fns, state, cached,
+            state, _, _ = run_epoch_fused(ep, fused, state, cached,
                                           training=True, rng=rng,
                                           compute_wer=wer_on,
                                           log=lambda *a: None)
         cached.set_epoch(3)
         t0 = _time.perf_counter()
-        state, _, loss = run_epoch_fused(3, fused_fns, state, cached,
+        state, _, loss = run_epoch_fused(3, fused, state, cached,
                                          training=True, rng=rng,
                                          compute_wer=wer_on,
                                          log=lambda *a: None)
@@ -1017,7 +1025,8 @@ def main(extra: bool = False) -> None:
         # 4.03 ms vs ~2.6 ms RTT, docs/KERNELS.md), so the fused-epoch rate
         # is the honest throughput claim for this recipe
         extras.update(bench_epoch(
-            only={"_fused", "_fused_nower", "_devcache_nower"},
+            only={"_fused", "_fused_nower", "_fused_pregather_nower",
+                  "_devcache_nower"},
             recipe="863"))
         extras.update(bench_waveform())
         extras.update(bench_waveform_epoch())

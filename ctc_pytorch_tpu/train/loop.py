@@ -160,7 +160,7 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
 
 
 def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
-                   waveform: bool = False):
+                   waveform: bool = False, pregather: bool = False):
     """Jitted per-bucket-group epoch runners over a device-resident cache.
 
     Each call runs a whole group of same-shape batches as one
@@ -198,6 +198,14 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
     and ``in_len`` holds valid SAMPLE counts, which the step's frac slot
     carries directly — the in-step frontend rewrites it to the frame-frac
     contract (``run_epoch(waveform=True)``'s streaming equivalent).
+
+    ``pregather=True`` moves the row gathers OUT of the scan: the whole
+    group's batches are materialised with one vectorised ``take`` before
+    the scan, which then consumes contiguous slices.  Numerics identical
+    (same rows, same order); it trades one group-sized HBM copy for the
+    per-step dynamic-slice gathers — the A/B probing the fused-epoch
+    residual (docs/KERNELS.md "Fused epochs": 75% of the FLOP-honest step
+    ceiling with in-scan gathers).
     """
     train_step, eval_step = raw_step_fns
     axis = data_axis if mesh is not None else None
@@ -212,15 +220,39 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
                 else in_len.astype(jnp.float32) / jnp.float32(t_pad))
         return feats, frac, labels, lab_len
 
+    def _pregather(feats_all, labels_all, inlen_all, lablen_all, pos,
+                   t_pad: int):
+        """(n, B) pos -> stacked (n, B, ...) batch arrays, one gather."""
+        flat = pos.reshape(-1)
+        nb = pos.shape
+        feats = jnp.take(feats_all, flat, axis=0)[:, :t_pad].reshape(
+            nb + (t_pad,) + feats_all.shape[2:])
+        labels = jnp.take(labels_all, flat, axis=0).reshape(
+            nb + labels_all.shape[1:])
+        in_len = jnp.take(inlen_all, flat, axis=0).reshape(nb)
+        lab_len = jnp.take(lablen_all, flat, axis=0).reshape(nb)
+        frac = (in_len.astype(jnp.float32) if waveform
+                else in_len.astype(jnp.float32) / jnp.float32(t_pad))
+        return feats, frac, labels, lab_len
+
     def fused_train(state, feats_all, labels_all, inlen_all, lablen_all,
                     pos, mask, valid, rng, t_pad: int, compute_wer: bool):
+        if pregather:
+            gathered = _pregather(feats_all, labels_all, inlen_all,
+                                  lablen_all, pos, t_pad)
+
         def body(carry, xs):
-            p, m, v = xs
+            i, m, v = xs
 
             def run(c):
                 st, errs, toks = c
-                feats, frac, labels, lab_len = _gather_batch(
-                    feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
+                if pregather:
+                    feats, frac, labels, lab_len = jax.tree_util.tree_map(
+                        lambda a: a[i], gathered)
+                else:
+                    feats, frac, labels, lab_len = _gather_batch(
+                        feats_all, labels_all, inlen_all, lablen_all, i,
+                        t_pad)
                 st, loss, greedy_idx, input_sizes = train_step(
                     st, feats, frac, labels, lab_len, m, rng)
                 if compute_wer:
@@ -236,9 +268,10 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
             # and the collectives inside train_step stay in lockstep.
             return jax.lax.cond(v, run, skip, carry)
 
+        xs0 = jnp.arange(pos.shape[0]) if pregather else pos
         zero = jnp.zeros((), jnp.int32)
         (state, errs, toks), losses = jax.lax.scan(
-            body, (state, zero, zero), (pos, mask, valid))
+            body, (state, zero, zero), (xs0, mask, valid))
         if axis is not None:
             errs = jax.lax.psum(errs, axis)
             toks = jax.lax.psum(toks, axis)
@@ -246,13 +279,22 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
 
     def fused_eval(state, feats_all, labels_all, inlen_all, lablen_all,
                    pos, mask, valid, t_pad: int, compute_wer: bool):
+        if pregather:
+            gathered = _pregather(feats_all, labels_all, inlen_all,
+                                  lablen_all, pos, t_pad)
+
         def body(carry, xs):
-            p, m, v = xs
+            i, m, v = xs
 
             def run(c):
                 errs, toks = c
-                feats, frac, labels, lab_len = _gather_batch(
-                    feats_all, labels_all, inlen_all, lablen_all, p, t_pad)
+                if pregather:
+                    feats, frac, labels, lab_len = jax.tree_util.tree_map(
+                        lambda a: a[i], gathered)
+                else:
+                    feats, frac, labels, lab_len = _gather_batch(
+                        feats_all, labels_all, inlen_all, lablen_all, i,
+                        t_pad)
                 loss, greedy_idx, input_sizes, _ = eval_step(
                     state, feats, frac, labels, lab_len, m)
                 if compute_wer:
@@ -266,9 +308,10 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
 
             return jax.lax.cond(v, run, skip, carry)
 
+        xs0 = jnp.arange(pos.shape[0]) if pregather else pos
         zero = jnp.zeros((), jnp.int32)
         (errs, toks), losses = jax.lax.scan(
-            body, (zero, zero), (pos, mask, valid))
+            body, (zero, zero), (xs0, mask, valid))
         if axis is not None:
             errs = jax.lax.psum(errs, axis)
             toks = jax.lax.psum(toks, axis)

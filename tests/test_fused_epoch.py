@@ -225,6 +225,36 @@ def test_pad_group_canonical_lengths():
         assert (m2[k:] == 0).all()
 
 
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_fused_pregather_matches_in_scan(tmp_path, mode):
+    """pregather=True (one vectorised gather before the scan) must be
+    numerically identical to the in-scan per-step gathers."""
+    cfg, _, ds = _corpus(tmp_path)
+    cfg.init_lr = 5e-3
+    _, state0, fns = _state_and_fns(cfg)
+    fused_a = make_fused_fns(fns[2:])
+    fused_b = make_fused_fns(fns[2:], pregather=True)
+    rng = jax.random.PRNGKey(3)
+
+    dev_a, dev_b = _loader(ds, buckets=3, mode=mode), _loader(
+        ds, buckets=3, mode=mode)
+    dev_a.set_epoch(1)
+    st_a = jax.tree_util.tree_map(jnp.copy, state0)
+    st_a, acc_a, loss_a = run_epoch_fused(
+        1, fused_a, st_a, dev_a, training=True, rng=rng,
+        log=lambda *a, **k: None)
+    dev_b.set_epoch(1)
+    st_b, acc_b, loss_b = run_epoch_fused(
+        1, fused_b, state0, dev_b, training=True, rng=rng,
+        log=lambda *a, **k: None)
+    assert loss_b == pytest.approx(loss_a, rel=1e-6)
+    assert acc_b == pytest.approx(acc_a, abs=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_waveform_matches_streaming(tmp_path):
     """fused_epoch x waveform-in: the cached gather passes SAMPLE counts
     through the frac slot for the in-step frontend to rewrite — one epoch
