@@ -196,6 +196,9 @@ def main(argv=None):
                     help="reuse an existing reference checkpoint")
     ap.add_argument("--seed", type=int, default=1,
                     help="training seed for BOTH sides (envelope studies)")
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="override our side's num_buckets (padding-ladder "
+                         "studies; the regime default otherwise)")
     ap.add_argument("--fused", action="store_true",
                     help="train our side with fused_epoch: True (grouped "
                          "batch-order dynamics check)")
@@ -235,6 +238,8 @@ def main(argv=None):
         # knob (see PARITY_RUN.md bucket study)
         hp.update(band=0.1, epochs=30 if not args.small else 12, buckets=16)
     hp.update(seed=args.seed, fused=args.fused)
+    if args.buckets is not None:
+        hp.update(buckets=args.buckets)
     if args.cnn:
         hp.update(cnn=True, skip=2)
         # frame budget: skip x2 then conv time-stride x2 leaves T/4 output
