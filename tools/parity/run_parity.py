@@ -199,6 +199,11 @@ def main(argv=None):
     ap.add_argument("--buckets", type=int, default=None,
                     help="override our side's num_buckets (padding-ladder "
                          "studies; the regime default otherwise)")
+    ap.add_argument("--ours-only", action="store_true",
+                    help="train/score only our side (padding-ladder seeds: "
+                         "the reference result for a given seed+regime is "
+                         "independent of our num_buckets knob, so reuse the "
+                         "recorded envelope instead of retraining torch)")
     ap.add_argument("--fused", action="store_true",
                     help="train our side with fused_epoch: True (grouped "
                          "batch-order dynamics check)")
@@ -303,15 +308,16 @@ def main(argv=None):
 
     # ---- reference: train + score dev/test ---------------------------------
     ref_ckpt = ckpt / "ref" / "ctc_best_model.pkl"
-    if not (args.skip_ref_train and ref_ckpt.exists()):
-        run([sys.executable, "steps/train_ctc.py", "--conf",
-             confs[("ref", "train")]], cwd=REF, env=ref_env(),
-            log_to=wd / "ref_train.log")
-    for split in ("dev", "test"):
-        out = run([sys.executable, "steps/test_ctc.py", "--conf",
-                   confs[("ref", split)]], cwd=REF, env=ref_env(),
-                  log_to=wd / f"ref_test_{split}.log")
-        results[f"ref_per_{split}"] = parse_wer(out)
+    if not args.ours_only:
+        if not (args.skip_ref_train and ref_ckpt.exists()):
+            run([sys.executable, "steps/train_ctc.py", "--conf",
+                 confs[("ref", "train")]], cwd=REF, env=ref_env(),
+                log_to=wd / "ref_train.log")
+        for split in ("dev", "test"):
+            out = run([sys.executable, "steps/test_ctc.py", "--conf",
+                       confs[("ref", split)]], cwd=REF, env=ref_env(),
+                      log_to=wd / f"ref_test_{split}.log")
+            results[f"ref_per_{split}"] = parse_wer(out)
 
     # ---- ours: train + score dev/test --------------------------------------
     env = dict(os.environ)
@@ -330,6 +336,11 @@ def main(argv=None):
                    confs[("ours", split)]], cwd=REPO, env=env,
                   log_to=wd / f"ours_test_{split}.log")
         results[f"ours_per_{split}"] = parse_wer(out)
+
+    if args.ours_only:
+        print(json.dumps(results, indent=2))
+        (wd / "results.json").write_text(json.dumps(results, indent=2))
+        return results
 
     # ---- greedy bit-equality on imported reference weights -----------------
     imported = wd / "imported.npz"
