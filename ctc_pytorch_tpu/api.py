@@ -75,7 +75,9 @@ class Recognizer:
             log_probs, _ = CTCModel.apply(spec, params, mstate, feats,
                                           frac=frac)
             t_out = log_probs.shape[0]
-            return log_probs, (frac * t_out).astype("int32")
+            return log_probs, CTCModel.input_sizes(
+                spec, frac, feats.shape[1], t_out
+            )
 
         if mesh is None:
             self._forward = jax.jit(_forward)

@@ -75,11 +75,13 @@ def evaluate(
     def forward(feats, frac):
         if frontend_fn is not None:
             feats, frac, _ = frontend_fn(feats, frac)
-        # frac feeds the padding-masked BN planes when the checkpoint was
-        # trained with spec.bn_mask_padding (a no-op otherwise)
+        # frac feeds the padding-masked BN planes (pad_dynamics 'valid' /
+        # 'batchmax' packages; a no-op for 'padded')
         log_probs, _ = CTCModel.apply(spec, params, mstate, feats, frac=frac)
         t_out = log_probs.shape[0]
-        return log_probs, (frac * t_out).astype(jnp.int32)
+        return log_probs, CTCModel.input_sizes(
+            spec, frac, feats.shape[1], t_out
+        )
 
     # fused stage-4 (decode/fused.py): one jitted scan per bucket group
     # over a device-resident cache — same strings, one dispatch per group

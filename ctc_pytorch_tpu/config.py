@@ -212,7 +212,27 @@ class Config:
     # with batch-max padding; see PARITY_RUN.md padding ladder).  With
     # bias-free RNNs this makes no-CNN training exactly padding-invariant,
     # so quantized/bucketed static shapes cost zero accuracy.
+    # DEPRECATED alias for pad_dynamics: "valid" (kept for old configs).
     bn_mask_padding: bool = False
+    # What train-time dynamics the padding region gets:
+    #   'batchmax' (default): reference-EXACT emulation at static shapes —
+    #     BN statistics stop at the batch's true max length (a traced
+    #     scalar; the compiled shape stays the bucket boundary) and the
+    #     region beyond it is zeroed, which bias-free RNNs carry as exact
+    #     zero state (model_ctc.py:24-25 bias=False).  Training dynamics
+    #     become bit-comparable to per-batch-max padding (num_buckets: 0)
+    #     for ANY bucket count, removing the padding-overshoot PER cost
+    #     the PARITY_RUN.md ladder measured (tests/test_pad_dynamics.py
+    #     proves step-level equality).  Repeat-padded rows of ragged final
+    #     batches are excluded from BN statistics, like the reference's
+    #     genuinely-smaller final batch.
+    #   'padded': BN normalises the full padded plane (the reference's own
+    #     quirk applied to the bucket boundary — its dynamics then shift
+    #     with padding overshoot; the pre-round-5 default).
+    #   'valid': per-utterance masking — a cleaner estimator than the
+    #     reference's, but NOT its dynamics (measured worse at hard
+    #     regimes; PARITY_RUN.md §3 negative result).
+    pad_dynamics: str = "batchmax"
     ctc_impl: str = "scan"  # 'scan' | 'pallas' CTC loss backend
     # fused Pallas RNN kernels for train+eval when the Mosaic tiling limits
     # allow (H % 128, 2B % 8 on real TPU); models/rnn.py silently falls back

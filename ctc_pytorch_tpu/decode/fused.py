@@ -58,11 +58,13 @@ def make_fused_decode_fn(
             feats = jnp.take(feats_all, p, axis=0)[:, :t_pad]
             in_len = jnp.take(inlen_all, p, axis=0)
             frac = in_len.astype(jnp.float32) / jnp.float32(t_pad)
-            # frac feeds the padding-masked BN planes when the package was
-            # trained with spec.bn_mask_padding (no-op otherwise)
+            # frac feeds the padding-masked BN planes (pad_dynamics 'valid'
+            # / 'batchmax' packages; no-op for 'padded')
             log_probs, _ = CTCModel.apply(spec, params, mstate, feats,
                                           frac=frac)
-            sizes = (frac * log_probs.shape[0]).astype(jnp.int32)
+            sizes = CTCModel.input_sizes(
+                spec, frac, feats.shape[1], log_probs.shape[0]
+            )
             if mode == "greedy":
                 idx = jnp.argmax(log_probs, axis=-1).T  # (B, T_out)
                 tokens, lens = greedy_collapse(idx, sizes, blank)

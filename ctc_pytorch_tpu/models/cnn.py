@@ -43,27 +43,46 @@ def conv_layer_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int],
 
 
 def _bn2d(params, state, x, train: bool, momentum=0.1, eps=1e-5,
-          axis_name=None):
+          axis_name=None, mask=None):
     """BatchNorm2d over the channel axis of NHWC ``(B, T, F, C)``.
 
     Stats accumulate in fp32 regardless of the plane dtype; the normalized
     output stays in the input dtype (bf16 planes at flagship shapes halve
     the HBM traffic of these full-plane passes).  ``axis_name`` psum-reduces
     the moments over a shard_map data axis (sync-BN; see layers.py).
+
+    ``mask``: optional (B, T, 1, 1) 0/1 validity — train-time statistics
+    then cover valid (row, frame) slots only (the batchmax pad-dynamics
+    mode; the caller zeroes the planes separately).
     """
     if train:
         xf = x.astype(jnp.float32)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        if axis_name is not None:
-            n = n * jax.lax.psum(1, axis_name)
-            mean = jax.lax.psum(jnp.sum(xf, axis=(0, 1, 2)), axis_name) / n
-            sq = jax.lax.psum(
-                jnp.sum(xf * xf, axis=(0, 1, 2)), axis_name) / n
-            var = sq - mean * mean
+        if mask is not None:
+            m = mask.astype(jnp.float32)
+            n = jnp.sum(m) * x.shape[2]
+            s1 = jnp.sum(xf * m, axis=(0, 1, 2))
+            s2 = jnp.sum(xf * xf * m, axis=(0, 1, 2))
+            if axis_name is not None:
+                n = jax.lax.psum(n, axis_name)
+                s1 = jax.lax.psum(s1, axis_name)
+                s2 = jax.lax.psum(s2, axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            var = s2 / n - mean * mean
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         else:
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.var(xf, axis=(0, 1, 2))
-        unbiased = var * (n / max(n - 1, 1))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            if axis_name is not None:
+                n = n * jax.lax.psum(1, axis_name)
+                mean = jax.lax.psum(
+                    jnp.sum(xf, axis=(0, 1, 2)), axis_name) / n
+                sq = jax.lax.psum(
+                    jnp.sum(xf * xf, axis=(0, 1, 2)), axis_name) / n
+                var = sq - mean * mean
+            else:
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.var(xf, axis=(0, 1, 2))
+            unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
@@ -164,8 +183,17 @@ def cnn_stack_apply(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     axis_name: Optional[str] = None,
+    t_valid=None,
+    example_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, List[Dict]]:
     """(B, 1, T, F) -> NHWC ``(B, T', F', C_out)``, plus new BN states.
+
+    ``t_valid``: optional traced scalar — the batch's true max input frames
+    (batchmax pad dynamics).  Each layer transforms it through its own conv
+    (+pool) floor arithmetic, takes BN statistics over frames below it
+    (repeat-padded rows dropped via ``example_mask``), and zeroes the tail
+    so the next conv sees exactly the implicit zero padding the reference
+    sees at a per-batch-max-padded plane's edge.
 
     The stack runs channels-last (NHWC/HWIO) with the planes held in
     ``compute_dtype`` throughout: TPU convs want channels on the lane axis,
@@ -183,6 +211,10 @@ def cnn_stack_apply(
         [None] * len(params)
     )
     x = x.transpose(0, 2, 3, 1).astype(compute_dtype)  # (B,C,T,F)->(B,T,F,C)
+    tv = t_valid
+    rows = None
+    if t_valid is not None and example_mask is not None:
+        rows = (example_mask > 0)[:, None, None, None]  # (B,1,1,1)
     for i, (p, s, r) in enumerate(zip(params, states, rngs)):
         stride = cnn.stride[i]
         pad = cnn.padding[i]
@@ -200,10 +232,16 @@ def cnn_stack_apply(
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         out = out + p["b"].astype(compute_dtype)
+        mask = None
+        if tv is not None:
+            tv = jnp.maximum(cnn.conv_out(i, tv, 0)[0], 1)
+            mask = (jnp.arange(out.shape[1]) < tv)[None, :, None, None]
+            if rows is not None:
+                mask = jnp.logical_and(mask, rows)
         ns = dict(s)
         if "bn" in p:
             out, ns["bn"] = _bn2d(p["bn"], s["bn"], out, train,
-                                  axis_name=axis_name)
+                                  axis_name=axis_name, mask=mask)
         out = act(out)
         pk = cnn.pool_at(i)
         if pk:
@@ -213,6 +251,17 @@ def cnn_stack_apply(
                 window_strides=(1, pk[0], pk[1], 1),
                 padding="VALID",
             )
+            if tv is not None:
+                # valid pooled windows lie entirely below the conv-level
+                # cutoff (floor arithmetic), so only the count changes
+                tv = jnp.maximum((tv - pk[0]) // pk[0] + 1, 1)
+        if tv is not None:
+            # zero the tail so the next conv's receptive field sees the
+            # implicit zero padding the reference sees at its plane edge
+            # (time cutoff only — garbage rows are excluded from BN stats
+            # and from the loss, and never mix across the batch axis)
+            tail = (jnp.arange(out.shape[1]) < tv)[None, :, None, None]
+            out = out * tail.astype(out.dtype)
         out = dropout(out, drop_rate, r, train)
         x = out
         new_states.append(ns)

@@ -51,12 +51,27 @@ class ModelSpec:
     compute_dtype: str = "bfloat16"
     use_pallas_rnn: bool = False  # fused Pallas LSTM scan on the eval path
     remat: bool = False  # rematerialise RNN layers in the backward pass
-    # train-time BN statistics over valid frames only, making training
-    # dynamics independent of padded length (the reference normalises
-    # padding too, model_ctc.py:29-32 — with bias-free RNNs that BN plane
-    # is the ONLY padding leak in no-CNN configs, so this flag makes
-    # bucketed/quantized static-shape batching cost zero accuracy)
-    bn_mask_padding: bool = False
+    # Train-time dynamics of the padding region (config.py Config for the
+    # full story):
+    #   'batchmax' — reference-exact per-batch-max emulation at static
+    #     shapes: BN statistics stop at the batch's true max length (a
+    #     traced scalar) and everything beyond is zeroed, which bias-free
+    #     RNNs (model_ctc.py:24-25) carry as exact zero state.  The loss's
+    #     fractional-length rescale also uses the batch max, reproducing
+    #     create_input's frac = len/batch_max (data_loader.py:137) +
+    #     train_ctc.py:46 to the same float32 ops.
+    #   'padded'   — BN over the full padded plane (reference quirk applied
+    #     to the bucket boundary).
+    #   'valid'    — per-utterance masked BN (cleaner-than-reference
+    #     estimator; measured worse at hard regimes).
+    pad_dynamics: str = "batchmax"
+
+    def __post_init__(self):
+        if self.pad_dynamics not in ("batchmax", "padded", "valid"):
+            raise ValueError(
+                f"pad_dynamics must be 'batchmax', 'padded' or 'valid', "
+                f"got {self.pad_dynamics!r}"
+            )
 
     @classmethod
     def from_config(cls, cfg: Config, num_class: int) -> "ModelSpec":
@@ -74,7 +89,11 @@ class ModelSpec:
             compute_dtype=cfg.dtype,
             use_pallas_rnn=cfg.use_pallas_rnn,
             remat=cfg.remat,
-            bn_mask_padding=cfg.bn_mask_padding,
+            pad_dynamics=(
+                "valid" if (cfg.bn_mask_padding
+                            and cfg.pad_dynamics == "batchmax")
+                else cfg.pad_dynamics
+            ),
         )
 
     def to_dict(self) -> dict:
@@ -85,6 +104,14 @@ class ModelSpec:
     @classmethod
     def from_dict(cls, d: dict) -> "ModelSpec":
         d = dict(d)
+        # pre-round-5 checkpoints carry bn_mask_padding instead of
+        # pad_dynamics; rebuild them with their original training dynamics
+        if "pad_dynamics" not in d:
+            d["pad_dynamics"] = (
+                "valid" if d.pop("bn_mask_padding", False) else "padded"
+            )
+        else:
+            d.pop("bn_mask_padding", None)
         cnn = d.pop("cnn")
         for pk in ("channel", "kernel_size", "stride", "padding"):
             cnn[pk] = [tuple(p) for p in cnn[pk]]
@@ -115,6 +142,55 @@ class ModelSpec:
 
 class CTCModel:
     """Namespace of pure functions over (spec, params, state)."""
+
+    @staticmethod
+    def batch_max_frames(
+        frac: jnp.ndarray,
+        t_in: int,
+        example_mask: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """True per-utterance input frames + the batch max (traced scalars).
+
+        ``frac`` is the collate's float32 ``len / T_pad`` (data_loader.py:137
+        contract applied to the bucket boundary); T_pad stays far below 2^23
+        so ``round(frac * T_pad)`` recovers the integer length exactly.
+        Repeat-padded rows are excluded from the max; inside ``shard_map``
+        the max reduces over the data axis so it equals the reference's
+        whole-batch max."""
+        true_in = jnp.round(frac * t_in).astype(jnp.int32)
+        rows = (true_in if example_mask is None
+                else jnp.where(example_mask > 0, true_in, 0))
+        bmax = jnp.maximum(jnp.max(rows), 1)
+        if axis_name is not None:
+            bmax = jax.lax.pmax(bmax, axis_name)
+        return true_in, bmax
+
+    @staticmethod
+    def input_sizes(
+        spec: "ModelSpec",
+        frac: jnp.ndarray,
+        t_in: int,
+        t_out: int,
+        example_mask: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
+    ) -> jnp.ndarray:
+        """Valid output frames for the loss/decode (``train_ctc.py:46``).
+
+        'batchmax' reproduces the reference's arithmetic exactly: frac is
+        recomputed against the batch max (``create_input``,
+        data_loader.py:137) and rescaled by the model's output length FOR
+        the batch max, in the same float32 ops torch runs — including its
+        truncation quirks.  Other modes rescale the stored boundary-relative
+        frac by the padded output length."""
+        if spec.pad_dynamics != "batchmax":
+            return (frac * t_out).astype(jnp.int32)
+        true_in, bmax = CTCModel.batch_max_frames(
+            frac, t_in, example_mask, axis_name
+        )
+        t_out_b = spec.output_time_len(bmax)
+        q = true_in.astype(jnp.float32) / bmax.astype(jnp.float32)
+        return (q * jnp.asarray(t_out_b, jnp.float32)).astype(jnp.int32)
 
     @staticmethod
     def init(key: jax.Array, spec: ModelSpec) -> Tuple[Dict, Dict]:
@@ -151,6 +227,7 @@ class CTCModel:
         visualize: bool = False,
         axis_name: Optional[str] = None,
         frac: Optional[jnp.ndarray] = None,
+        example_mask: Optional[jnp.ndarray] = None,
     ):
         """(B, T, F) -> log_probs (T', B, num_class), new_state[, visual].
 
@@ -159,13 +236,26 @@ class CTCModel:
         math stays identical to the single-device global batch.
 
         ``frac``: the fractional-length contract values (valid/padded
-        frames, ``train_ctc.py:46``).  Only used when
-        ``spec.bn_mask_padding`` — BN planes then take statistics over
-        valid frames only and zero the padding (see ``batchnorm_apply``),
-        which with bias-free RNNs makes the no-CNN forward/backward exactly
-        independent of the padded length.  CNN configs mask the RNN-level
-        BNs the same way but the conv stack's own BN still sees padding,
-        so invariance there is approximate."""
+        frames, ``train_ctc.py:46``).  Drives the padding-masked BN planes:
+
+        - ``pad_dynamics='batchmax'``: every BN (conv-stack 2D BNs
+          included) takes statistics over frames below the batch's true
+          max length — a traced scalar, so the compiled shape still the
+          bucket boundary — and the region beyond is zeroed, which
+          bias-free RNNs carry as exact zero state.  Forward, loss and
+          gradients become exactly those of a per-batch-max-padded batch
+          (the reference's ``create_input``), for any bucket count
+          (tests/test_pad_dynamics.py).
+        - ``'valid'``: per-utterance masking (see ``batchnorm_apply``) —
+          with bias-free RNNs the no-CNN forward/backward is then exactly
+          padding-independent; CNN configs mask the RNN-level BNs but the
+          conv stack's own BN still sees padding.
+        - ``'padded'``: no masking (BN normalises the whole plane).
+
+        ``example_mask``: (B,) 0/1 validity of batch rows; repeat-padded
+        rows of ragged final batches are excluded from batchmax BN
+        statistics the way the reference's genuinely-smaller final batch
+        never contributes them."""
         compute_dtype = jnp.dtype(spec.compute_dtype)
         new_state: Dict[str, Any] = {}
         visual = [x] if visualize else None
@@ -173,11 +263,19 @@ class CTCModel:
         if rng is not None and train:
             r_cnn, r_rnn = jax.random.split(rng)
 
+        t_in = x.shape[1]
+        bmax = None
+        if frac is not None and spec.pad_dynamics == "batchmax":
+            _, bmax = CTCModel.batch_max_frames(
+                frac, t_in, example_mask, axis_name
+            )
+
         if spec.add_cnn:
             out, new_state["cnn"] = cnn_stack_apply(
                 params["cnn"], state["cnn"], x[:, None, :, :], spec.cnn,
                 train=train, drop_rate=spec.drop_out, rng=r_cnn,
                 compute_dtype=compute_dtype, axis_name=axis_name,
+                t_valid=bmax, example_mask=example_mask,
             )
             if visualize:
                 # visual contract stays (B, C, T', F') — the stack itself
@@ -194,14 +292,26 @@ class CTCModel:
             out = x.transpose(1, 0, 2)
 
         bn_mask = None
-        if spec.bn_mask_padding and frac is not None:
+        t_rnn = out.shape[0]
+        if spec.pad_dynamics == "valid" and frac is not None:
             # valid frames at the RNN input, via the same truncating
             # contract the loss uses (train_ctc.py:46)
-            t_rnn = out.shape[0]
             valid = (frac * t_rnn).astype(jnp.int32)
             bn_mask = (
                 jnp.arange(t_rnn)[:, None] < valid[None, :]
             ).astype(jnp.float32)  # (T', B)
+        elif bmax is not None:
+            # batchmax: one cutoff for the whole batch — the conv output
+            # length the reference would have produced for a batch padded
+            # to its true max (same floor arithmetic, traced operand)
+            t_cut = spec.output_time_len(bmax)
+            bn_mask = jnp.arange(t_rnn)[:, None] < t_cut  # (T', 1)->(T', B)
+            bn_mask = jnp.broadcast_to(bn_mask, (t_rnn, out.shape[1]))
+            if example_mask is not None:
+                bn_mask = jnp.logical_and(
+                    bn_mask, (example_mask > 0)[None, :]
+                )
+            bn_mask = bn_mask.astype(jnp.float32)
 
         out, new_state["rnns"] = rnn_stack_apply(
             params["rnns"], state["rnns"], out,

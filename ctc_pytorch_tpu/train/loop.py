@@ -70,11 +70,17 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
             feats, frac, _ = frontend_fn(feats, frac)
         out = CTCModel.apply(
             spec, params, model_state, feats, train=train, rng=rng,
-            axis_name=axis, frac=frac,
+            axis_name=axis, frac=frac, example_mask=mask,
         )
         log_probs, new_mstate = out[0], out[1]
         t_out = log_probs.shape[0]
-        input_sizes = (frac * t_out).astype(jnp.int32)
+        # 'batchmax' recomputes the reference's len/batch_max fraction and
+        # rescales by the batch max's OWN output length (train_ctc.py:46 to
+        # the float32 op); other modes rescale the boundary-relative frac
+        input_sizes = CTCModel.input_sizes(
+            spec, frac, feats.shape[1], t_out, example_mask=mask,
+            axis_name=axis,
+        )
         neg_ll = _ctc(
             log_probs, labels, input_sizes, label_lens, reduction="none"
         )

@@ -37,7 +37,7 @@ def _spec(cell="lstm", mask=True, drop=0.0):
         drop_out=drop,
         compute_dtype="float32",
         use_pallas_rnn=False,
-        bn_mask_padding=mask,
+        pad_dynamics="valid" if mask else "padded",
     )
 
 

@@ -96,12 +96,16 @@ def ours_extra(hp: dict) -> str:
     # boundary; boundary count controls the padding overshoot vs the
     # reference's exact per-batch-max padding (BN statistics include padded
     # frames on both sides, so overshoot is a real training-dynamics knob:
-    # measured ~5.5% at 4 buckets vs ~2.5% at 16 on the hard corpus)
+    # measured ~5.5% at 4 buckets vs ~2.5% at 16 on the hard corpus).
+    # pad_dynamics 'batchmax' (the round-5 default) removes the knob: BN
+    # statistics stop at the batch's true max inside the static boundary.
     extra = f"""\
 num_buckets: {hp.get('buckets', 4)}
 dtype: "float32"
 ctc_impl: "scan"
 """
+    if hp.get("pad_dynamics"):
+        extra += f"pad_dynamics: \"{hp['pad_dynamics']}\"\n"
     if hp.get("fused"):
         extra += "fused_epoch: True\n"
     return extra
@@ -204,6 +208,11 @@ def main(argv=None):
                          "the reference result for a given seed+regime is "
                          "independent of our num_buckets knob, so reuse the "
                          "recorded envelope instead of retraining torch)")
+    ap.add_argument("--pad-dynamics", default=None,
+                    choices=("padded", "batchmax", "valid"),
+                    help="our side's pad_dynamics (framework default when "
+                         "omitted; 'padded' reproduces the pre-round-5 "
+                         "ladder rows)")
     ap.add_argument("--fused", action="store_true",
                     help="train our side with fused_epoch: True (grouped "
                          "batch-order dynamics check)")
@@ -242,7 +251,8 @@ def main(argv=None):
         # at 4) — at this regime padding-in-BN is a measurable dynamics
         # knob (see PARITY_RUN.md bucket study)
         hp.update(band=0.1, epochs=30 if not args.small else 12, buckets=16)
-    hp.update(seed=args.seed, fused=args.fused)
+    hp.update(seed=args.seed, fused=args.fused,
+              pad_dynamics=args.pad_dynamics)
     if args.buckets is not None:
         hp.update(buckets=args.buckets)
     if args.cnn:
