@@ -208,6 +208,10 @@ def main(argv=None):
                          "the reference result for a given seed+regime is "
                          "independent of our num_buckets knob, so reuse the "
                          "recorded envelope instead of retraining torch)")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="train/score only the torch reference (seed-"
+                         "envelope extension runs: our side's results for "
+                         "these seeds are already recorded)")
     ap.add_argument("--pad-dynamics", default=None,
                     choices=("padded", "batchmax", "valid"),
                     help="our side's pad_dynamics (framework default when "
@@ -328,6 +332,11 @@ def main(argv=None):
                        confs[("ref", split)]], cwd=REF, env=ref_env(),
                       log_to=wd / f"ref_test_{split}.log")
             results[f"ref_per_{split}"] = parse_wer(out)
+
+    if args.ref_only:
+        print(json.dumps(results, indent=2))
+        (wd / "results.json").write_text(json.dumps(results, indent=2))
+        return results
 
     # ---- ours: train + score dev/test --------------------------------------
     env = dict(os.environ)
