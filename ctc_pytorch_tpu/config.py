@@ -165,6 +165,12 @@ class Config:
     # Decoded strings and scores are identical; only dispatch granularity
     # changes (see BENCH_EXTRA stage4_greedy_rtf_fused vs stage4_greedy_rtf).
     fused_decode: bool = True
+    # fused_epoch variant: materialise each group's batches with one
+    # vectorised take before the scan instead of per-step in-scan gathers.
+    # Measured flat-to-slightly-negative on v5e (docs/KERNELS.md round-5
+    # pregather A/B) — the in-scan gathers pipeline behind the RNN chain —
+    # so it ships off; kept as a knob for rigs with different HBM behaviour.
+    fused_pregather: bool = False
     feature_dim: int = 81
     output_class_dim: int = 39
     mel: bool = False

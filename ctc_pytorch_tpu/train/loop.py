@@ -555,7 +555,8 @@ class Trainer:
         # the frac slot for the in-step frontend to rewrite).
         self.fused_fns = (
             make_fused_fns(fns[2:], mesh, cfg.data_axis,
-                           waveform=frontend_fn is not None)
+                           waveform=frontend_fn is not None,
+                           pregather=cfg.fused_pregather)
             if cfg.fused_epoch
             else None
         )
