@@ -539,6 +539,36 @@ def bench_epoch(only: "set | None" = None, recipe: str = "flagship") -> dict:
                                          log=lambda *a: None)
         dt = _time.perf_counter() - t0
         out[pref + "epoch_utts_per_sec" + suffix] = n_utts / dt
+    # single-dispatch fused epochs (cfg.fused_dispatch == "epoch"): the
+    # whole epoch is ONE jitted program keyed by the sorted (t_pad,
+    # pow2-group-length) signature, so warm/timed epochs must share the
+    # SAME signature for a steady-state measurement — find such a pair.
+    from ctc_pytorch_tpu.train.loop import make_epoch_fns, run_epoch_single
+
+    sigs = {ep: tuple(sorted(_group_keys(ep))) for ep in range(1, 13)}
+    warm1, timed1 = 1, 3
+    for ep in range(2, 13):
+        prev = [w for w in range(1, ep) if sigs[w] == sigs[ep]]
+        if prev:
+            warm1, timed1 = prev[0], ep
+            break
+    epoch_fns = make_epoch_fns(fns[2:])
+    for suffix, wer_on in [("_fused1", True), ("_fused1_nower", False)]:
+        if only is not None and suffix not in only:
+            continue
+        cached.set_epoch(warm1)
+        state, _, _ = run_epoch_single(warm1, epoch_fns, state, cached,
+                                       training=True, rng=rng,
+                                       compute_wer=wer_on,
+                                       log=lambda *a: None)
+        cached.set_epoch(timed1)
+        t0 = _time.perf_counter()
+        state, _, loss = run_epoch_single(timed1, epoch_fns, state, cached,
+                                          training=True, rng=rng,
+                                          compute_wer=wer_on,
+                                          log=lambda *a: None)
+        dt = _time.perf_counter() - t0
+        out[pref + "epoch_utts_per_sec" + suffix] = n_utts / dt
     if only is None or any(s.startswith("_fused") or s == "_devcache_nower"
                            for s in (only or ())):
         # mean padded T of the epoch's batches: the step-rate bench runs at
@@ -1049,7 +1079,7 @@ def main(extra: bool = False) -> None:
         # is the honest throughput claim for this recipe
         extras.update(bench_epoch(
             only={"_fused", "_fused_nower", "_fused_pregather_nower",
-                  "_devcache_nower"},
+                  "_fused1", "_fused1_nower", "_devcache_nower"},
             recipe="863"))
         extras.update(bench_waveform())
         extras.update(bench_waveform_epoch())

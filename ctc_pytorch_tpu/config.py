@@ -165,6 +165,13 @@ class Config:
     # Decoded strings and scores are identical; only dispatch granularity
     # changes (see BENCH_EXTRA stage4_greedy_rtf_fused vs stage4_greedy_rtf).
     fused_decode: bool = True
+    # fused_epoch dispatch granularity: "group" (one jitted call per
+    # bucket group — the round-4 default) or "epoch" (the WHOLE epoch as
+    # one jitted program: one dispatch + one result fetch per epoch, the
+    # answer to per-group dispatch RTT on tunneled rigs; groups visit in
+    # t_pad order and the per-group progress lines collapse to the epoch
+    # summary).  Per-batch numerics identical in all three modes.
+    fused_dispatch: str = "group"
     # fused_epoch variant: materialise each group's batches with one
     # vectorised take before the scan instead of per-step in-scan gathers.
     # Measured flat-to-slightly-negative on v5e (docs/KERNELS.md round-5

@@ -166,7 +166,8 @@ def make_step_fns(spec: ModelSpec, tx, mesh=None, data_axis: str = "data",
 
 
 def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
-                   waveform: bool = False, pregather: bool = False):
+                   waveform: bool = False, pregather: bool = False,
+                   _unjitted: bool = False):
     """Jitted per-bucket-group epoch runners over a device-resident cache.
 
     Each call runs a whole group of same-shape batches as one
@@ -324,6 +325,8 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
         return losses, errs, toks
 
     if mesh is None:
+        if _unjitted:
+            return fused_train, fused_eval
         return (
             jax.jit(fused_train, static_argnums=(9, 10),
                     donate_argnums=(0,)),
@@ -362,9 +365,76 @@ def make_fused_fns(raw_step_fns, mesh=None, data_axis: str = "data",
         return f(state, feats_all, labels_all, inlen_all, lablen_all, pos,
                  mask, valid)
 
+    if _unjitted:
+        return train_outer, eval_outer
     return (
         jax.jit(train_outer, static_argnums=(9, 10), donate_argnums=(0,)),
         jax.jit(eval_outer, static_argnums=(8, 9)),
+    )
+
+
+def make_epoch_fns(raw_step_fns, mesh=None, data_axis: str = "data",
+                   waveform: bool = False, pregather: bool = False):
+    """Single-dispatch twin of :func:`make_fused_fns`: ONE jitted program
+    chains every bucket group of the epoch, so the host issues exactly one
+    device call (and one result fetch) per epoch instead of one per group.
+
+    Motivation (docs/KERNELS.md "Fused epochs"): on a tunneled rig each
+    dispatch blocks on an RPC round-trip (~25 ms); the per-group fused
+    path still pays O(bucket shapes) of those per epoch, which is the
+    entire measured residual vs the FLOP-honest step ceiling.  Chaining
+    the groups inside one ``jit`` removes them: epoch wall-clock becomes
+    compute + ONE round-trip (the reference's per-epoch timing contract is
+    `timit/steps/train_ctc.py:229-230`).
+
+    Numerics: per-group math is byte-identical to the per-group fused
+    path (the same un-jitted group runners are traced); groups are chained
+    in the caller's order.  The compiled program is keyed by the epoch's
+    full group SIGNATURE — the ordered tuple of (t_pad, padded group
+    length) — so callers should visit groups in a canonical order
+    (``run_epoch_single`` sorts by t_pad) to keep the compiled set small.
+
+    Returns ``(epoch_train, epoch_eval)``:
+
+    - ``epoch_train(state, rng, groups, t_pads, compute_wer)`` ->
+      ``(state, per-group losses tuple, errs, toks)``
+    - ``epoch_eval(state, groups, t_pads, compute_wer)`` ->
+      ``(per-group losses tuple, errs, toks)``
+
+    where ``groups`` is a tuple of per-group 7-tuples matching
+    ``fused_train``'s array arguments and ``t_pads`` the matching static
+    lengths."""
+    inner_train, inner_eval = make_fused_fns(
+        raw_step_fns, mesh, data_axis, waveform=waveform,
+        pregather=pregather, _unjitted=True)
+
+    def epoch_train(state, rng, groups, t_pads: tuple, compute_wer: bool):
+        outs = []
+        errs = jnp.zeros((), jnp.int32)
+        toks = jnp.zeros((), jnp.int32)
+        for g, t_pad in zip(groups, t_pads):
+            state, losses, e, t = inner_train(
+                state, *g, rng, t_pad=t_pad, compute_wer=compute_wer)
+            outs.append(losses)
+            errs = errs + e
+            toks = toks + t
+        return state, tuple(outs), errs, toks
+
+    def epoch_eval(state, groups, t_pads: tuple, compute_wer: bool):
+        outs = []
+        errs = jnp.zeros((), jnp.int32)
+        toks = jnp.zeros((), jnp.int32)
+        for g, t_pad in zip(groups, t_pads):
+            losses, e, t = inner_eval(
+                state, *g, t_pad=t_pad, compute_wer=compute_wer)
+            outs.append(losses)
+            errs = errs + e
+            toks = toks + t
+        return tuple(outs), errs, toks
+
+    return (
+        jax.jit(epoch_train, static_argnums=(3, 4), donate_argnums=(0,)),
+        jax.jit(epoch_eval, static_argnums=(2, 3)),
     )
 
 
@@ -430,6 +500,70 @@ def run_epoch_fused(
     avg_loss = loss_sum / max(n_batches, 1)
     acc = 1.0 - errs / (toks + 1e-9)
     tag = "Train" if training else "Valid"
+    log(f"Epoch {epoch_id} {tag} done, total_loss: {avg_loss:.4f}, "
+        f"total_wer: {1.0 - acc:.4f}")
+    return state, acc, avg_loss
+
+
+def run_epoch_single(
+    epoch_id: int,
+    epoch_fns,
+    state: TrainState,
+    loader,
+    *,
+    training: bool,
+    rng: Optional[jax.Array] = None,
+    compute_wer: bool = True,
+    log=print,
+) -> Tuple[TrainState, float, float]:
+    """``run_epoch_fused`` through :func:`make_epoch_fns`: the WHOLE epoch
+    is one jitted call and one result fetch.  Same return contract; the
+    per-group progress lines collapse to the single epoch summary (the
+    host has nothing to print until the one dispatch returns).
+
+    Groups are visited in t_pad order (canonical), not first-appearance
+    order: the compiled program is keyed by the ordered group signature,
+    and a shuffle-dependent order would recompile per epoch.  Like the
+    per-group fused path this only permutes batch VISITING order within
+    the epoch; per-batch math is unchanged."""
+    epoch_train, epoch_eval = epoch_fns
+    groups, t_pads, ks = [], [], []
+    for arrs, pos, mask, t_pad in sorted(
+        loader.epoch_groups(loader.epoch), key=lambda g: g[3]
+    ):
+        ks.append(pos.shape[0])
+        pos, mask, valid = _pad_group(pos, mask)
+        groups.append((arrs["feats"], arrs["labels"], arrs["in_len"],
+                       arrs["lab_len"], jnp.asarray(pos), jnp.asarray(mask),
+                       jnp.asarray(valid)))
+        t_pads.append(int(t_pad))
+    if not groups:
+        tag = "Train" if training else "Valid"
+        log(f"Epoch {epoch_id} {tag} done, total_loss: 0.0000, "
+            f"total_wer: 0.0000")
+        return state, 1.0, 0.0
+    if training:
+        state, losses, errs, toks = epoch_train(
+            state, rng, tuple(groups), tuple(t_pads), compute_wer)
+    else:
+        losses, errs, toks = epoch_eval(
+            state, tuple(groups), tuple(t_pads), compute_wer)
+    loss_sum = 0.0
+    n_batches = 0
+    for vals, k in zip(losses, ks):
+        vals = np.asarray(vals)[:k]
+        loss_sum += float(vals.sum())
+        n_batches += k
+    errs, toks = int(errs), int(toks)
+    avg_loss = loss_sum / max(n_batches, 1)
+    acc = 1.0 - errs / (toks + 1e-9)
+    tag = "Train" if training else "Valid"
+    if training:
+        log(
+            f"Epoch = {epoch_id}, step = {n_batches}, "
+            f"total_loss = {avg_loss:.4f}, "
+            f"total_wer = {errs / (toks + 1e-9):.4f}"
+        )
     log(f"Epoch {epoch_id} {tag} done, total_loss: {avg_loss:.4f}, "
         f"total_wer: {1.0 - acc:.4f}")
     return state, acc, avg_loss
@@ -560,6 +694,19 @@ class Trainer:
             if cfg.fused_epoch
             else None
         )
+        if cfg.fused_dispatch not in ("group", "epoch"):
+            raise ValueError(
+                f"fused_dispatch must be 'group' or 'epoch', "
+                f"got {cfg.fused_dispatch!r}")
+        # cfg.fused_dispatch == "epoch": the whole epoch as ONE jitted
+        # call (make_epoch_fns) — one dispatch + one fetch per epoch
+        self.epoch_fns = (
+            make_epoch_fns(fns[2:], mesh, cfg.data_axis,
+                           waveform=frontend_fn is not None,
+                           pregather=cfg.fused_pregather)
+            if cfg.fused_epoch and cfg.fused_dispatch == "epoch"
+            else None
+        )
         self.scheduler = PlateauScheduler(
             end_adjust_acc=cfg.end_adjust_acc, lr_decay=cfg.lr_decay,
             mode=cfg.scheduler_mode,
@@ -577,6 +724,17 @@ class Trainer:
         self._best = snapshot(self.state)
         self.epoch = 0
         self._decay_next = False
+
+    def _run_fused(self, loader, *, training, rng=None, compute_wer=True,
+                   log=print):
+        """Dispatch one fused pass at the configured granularity."""
+        if self.epoch_fns is not None:
+            return run_epoch_single(
+                self.epoch, self.epoch_fns, self.state, loader,
+                training=training, rng=rng, compute_wer=compute_wer, log=log)
+        return run_epoch_fused(
+            self.epoch, self.fused_fns, self.state, loader,
+            training=training, rng=rng, compute_wer=compute_wer, log=log)
 
     def fit(
         self,
@@ -617,9 +775,8 @@ class Trainer:
             with profile_ctx(cfg.profile and self.epoch == 1,
                              self.out_dir / "profile"):
                 if fuse_train:
-                    self.state, train_acc, train_loss = run_epoch_fused(
-                        self.epoch, self.fused_fns, self.state, train_loader,
-                        training=True, rng=self.dropout_key,
+                    self.state, train_acc, train_loss = self._run_fused(
+                        train_loader, training=True, rng=self.dropout_key,
                         compute_wer=compute_wer, log=log,
                     )
                 else:
@@ -635,9 +792,9 @@ class Trainer:
                 # "cer on training set" (sic — the reference mislabels
                 # accuracy as cer, preserved for comparability)
                 if fuse_train:
-                    _, tr_eval_acc, _ = run_epoch_fused(
-                        self.epoch, self.fused_fns, self.state, train_loader,
-                        training=False, compute_wer=True, log=log,
+                    _, tr_eval_acc, _ = self._run_fused(
+                        train_loader, training=False, compute_wer=True,
+                        log=log,
                     )
                 else:
                     _, tr_eval_acc, _ = run_epoch(
@@ -650,9 +807,9 @@ class Trainer:
                     tr_eval_acc * 100
                 )
             if fuse_dev:
-                _, dev_acc, dev_loss = run_epoch_fused(
-                    self.epoch, self.fused_fns, self.state, dev_loader,
-                    training=False, compute_wer=compute_wer, log=log,
+                _, dev_acc, dev_loss = self._run_fused(
+                    dev_loader, training=False, compute_wer=compute_wer,
+                    log=log,
                 )
             else:
                 _, dev_acc, dev_loss = run_epoch(

@@ -342,3 +342,135 @@ def test_trainer_uses_fused_path(tmp_path, monkeypatch):
     tr.fit(_loader(ds), _loader(ds), num_epoches=1,
            log=lambda *a, **k: None)
     assert calls["fused"] == 2  # train + dev epoch
+
+
+@pytest.mark.parametrize("mode", ["bucket", "quantized"])
+def test_single_dispatch_matches_per_group_sorted(tmp_path, mode):
+    """run_epoch_single == the per-group jitted runners driven in the same
+    (t_pad-sorted) group order: state, loss, and token-error sums."""
+    from ctc_pytorch_tpu.train.loop import (
+        _pad_group,
+        make_epoch_fns,
+        run_epoch_single,
+    )
+
+    cfg, _, ds = _corpus(tmp_path)
+    dev_a = _loader(ds, buckets=3, mode=mode)
+    dev_b = _loader(ds, buckets=3, mode=mode)
+    _, state0, fns = _state_and_fns(cfg)
+    rng = jax.random.PRNGKey(3)
+
+    # reference: per-group fused calls, sorted by t_pad like run_epoch_single
+    fused_train, _ = make_fused_fns(fns[2:])
+    dev_a.set_epoch(1)
+    st_ref = jax.tree_util.tree_map(jnp.copy, state0)
+    loss_sum, n_batches, errs, toks = 0.0, 0, 0, 0
+    for arrs, pos, mask, t_pad in sorted(
+        dev_a.epoch_groups(1), key=lambda g: g[3]
+    ):
+        k = pos.shape[0]
+        pos, mask, valid = _pad_group(pos, mask)
+        st_ref, losses, e, t = fused_train(
+            st_ref, arrs["feats"], arrs["labels"], arrs["in_len"],
+            arrs["lab_len"], jnp.asarray(pos), jnp.asarray(mask),
+            jnp.asarray(valid), rng, int(t_pad), True)
+        loss_sum += float(np.asarray(losses)[:k].sum())
+        n_batches += k
+        errs += int(e)
+        toks += int(t)
+
+    epoch_fns = make_epoch_fns(fns[2:])
+    dev_b.set_epoch(1)
+    st_s, acc_s, loss_s = run_epoch_single(
+        1, epoch_fns, state0, dev_b, training=True, rng=rng,
+        log=lambda *a, **k: None)
+
+    assert loss_s == pytest.approx(loss_sum / n_batches, rel=1e-6)
+    assert acc_s == pytest.approx(1.0 - errs / (toks + 1e-9), abs=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(st_ref.params),
+                    jax.tree_util.tree_leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # eval is order-independent: totals must match the per-group fused
+    # runner over the unsorted order too
+    fused = make_fused_fns(fns[2:])
+    dev_a.set_epoch(2)
+    _, acc_ef, loss_ef = run_epoch_fused(
+        2, fused, st_ref, dev_a, training=False, log=lambda *a, **k: None)
+    dev_b.set_epoch(2)
+    _, acc_es, loss_es = run_epoch_single(
+        2, epoch_fns, st_s, dev_b, training=False, log=lambda *a, **k: None)
+    assert loss_es == pytest.approx(loss_ef, rel=1e-6)
+    assert acc_es == pytest.approx(acc_ef, abs=1e-9)
+
+
+def test_trainer_single_dispatch_path(tmp_path, monkeypatch):
+    cfg, _, ds = _corpus(tmp_path, varied=False)
+    cfg.fused_epoch = True
+    cfg.fused_dispatch = "epoch"
+    cfg.num_epoches = 1
+    cfg.least_train_epoch = 0
+    cfg.save_every = 0
+    spec = ModelSpec.from_config(cfg, num_class=5)
+    from ctc_pytorch_tpu.train import loop as loop_mod
+
+    calls = {"single": 0}
+    orig = loop_mod.run_epoch_single
+
+    def spy(*a, **k):
+        calls["single"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "run_epoch_single", spy)
+    tr = loop_mod.Trainer(cfg, spec, out_dir=str(tmp_path / "out"))
+    assert tr.epoch_fns is not None
+    tr.fit(_loader(ds), _loader(ds), num_epoches=1,
+           log=lambda *a, **k: None)
+    assert calls["single"] == 2  # train + dev epoch
+
+    cfg.fused_dispatch = "nope"
+    with pytest.raises(ValueError):
+        loop_mod.Trainer(cfg, spec, out_dir=str(tmp_path / "out2"))
+
+
+def test_single_dispatch_mesh_matches_single_device(tmp_path):
+    """One-dispatch-per-epoch under shard_map on a 4-device data mesh ==
+    the single-device single-dispatch run (state, loss, acc)."""
+    from ctc_pytorch_tpu.parallel import make_mesh, replicate
+    from ctc_pytorch_tpu.train.loop import make_epoch_fns, run_epoch_single
+
+    cfg, _, ds = _corpus(tmp_path)
+    cfg.init_lr = 5e-3
+    _, state0, fns_sd = _state_and_fns(cfg)
+    epoch_sd = make_epoch_fns(fns_sd[2:])
+
+    mesh = make_mesh(jax.devices()[:4])
+    spec = ModelSpec.from_config(cfg, num_class=5)
+    state_m, tx = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay)
+    state_m = replicate(state_m, mesh)
+    fns_m = make_step_fns(spec, tx, mesh=mesh, return_raw=True)
+    epoch_m = make_epoch_fns(fns_m[2:], mesh)
+
+    rng = jax.random.PRNGKey(3)
+    dev_sd = _loader(ds, buckets=3, mode="quantized")
+    dev_m = DeviceCachedLoader(
+        SpeechDataLoader(ds, 4, shuffle=True, num_buckets=3, seed=7,
+                         mode="quantized"),
+        mesh=mesh,
+    )
+    dev_sd.set_epoch(1)
+    dev_m.set_epoch(1)
+    st_s, acc_s, loss_s = run_epoch_single(
+        1, epoch_sd, state0, dev_sd, training=True, rng=rng,
+        log=lambda *a, **k: None)
+    st_m, acc_m, loss_m = run_epoch_single(
+        1, epoch_m, state_m, dev_m, training=True, rng=rng,
+        log=lambda *a, **k: None)
+    assert loss_m == pytest.approx(loss_s, rel=1e-5)
+    assert acc_m == pytest.approx(acc_s, abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                    jax.tree_util.tree_leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
