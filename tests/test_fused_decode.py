@@ -22,7 +22,7 @@ from ctc_pytorch_tpu.vocab import Vocab
 import jax.numpy as jnp
 
 
-def _setup(tmp_path, n_utts=19, dim=7):
+def _setup(tmp_path, n_utts=19, dim=7, add_cnn=False):
     rng = np.random.RandomState(0)
     ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
     with ArkWriter(ark, scp) as w:
@@ -37,10 +37,24 @@ def _setup(tmp_path, n_utts=19, dim=7):
     cfg = Config()
     cfg.left_ctx = cfg.right_ctx = 0
     cfg.n_skip_frame = cfg.n_downsample = 1
+    cfg.feature_dim = dim
     cfg.rnn_input_size = dim
     cfg.rnn_hidden_size = 8
     cfg.rnn_layers = 1
-    cfg.cnn = CNNConfig(add_cnn=False)
+    if add_cnn:
+        # time stride 2: the fused path must reproduce the streaming
+        # int(frac * T_out(t_pad)) length arithmetic through the conv.
+        # rnn_input_size stays the PRE-conv feature dim — the model
+        # derives the post-conv size itself (reference contract,
+        # model_ctc.py:111).
+        cfg.n_downsample = 2
+        cfg.cnn = CNNConfig(
+            add_cnn=True, layers=1, channel=[(1, 4)],
+            kernel_size=[(3, 3)], stride=[(2, 2)], padding=[(1, 1)],
+            pooling=None,
+        )
+    else:
+        cfg.cnn = CNNConfig(add_cnn=False)
     cfg.drop_out = 0.0
     cfg.dtype = "float32"
     vocab = Vocab(str(tmp_path / "units"))
@@ -82,8 +96,9 @@ def _fused_strings(fused, cached, to_str):
 
 
 @pytest.mark.parametrize("mode", ["bucket", "quantized"])
-def test_fused_greedy_equals_streaming(tmp_path, mode):
-    cfg, vocab, ds, spec, params, mstate = _setup(tmp_path)
+@pytest.mark.parametrize("add_cnn", [False, True])
+def test_fused_greedy_equals_streaming(tmp_path, mode, add_cnn):
+    cfg, vocab, ds, spec, params, mstate = _setup(tmp_path, add_cnn=add_cnn)
     mk = lambda: SpeechDataLoader(ds, 4, shuffle=False, num_buckets=3,
                                   mode=mode)
     g = GreedyDecoder(vocab.index2word)
