@@ -95,8 +95,14 @@ def _fused_strings(fused, cached, to_str):
     return out
 
 
-@pytest.mark.parametrize("mode", ["bucket", "quantized"])
-@pytest.mark.parametrize("add_cnn", [False, True])
+@pytest.mark.parametrize("mode,add_cnn", [
+    ("bucket", False),
+    ("quantized", False),
+    # one CNN case stays fast (quantized = the shipped default mode);
+    # the bucket twin compiles a second conv program -> slow tier
+    ("quantized", True),
+    pytest.param("bucket", True, marks=pytest.mark.slow),
+])
 def test_fused_greedy_equals_streaming(tmp_path, mode, add_cnn):
     cfg, vocab, ds, spec, params, mstate = _setup(tmp_path, add_cnn=add_cnn)
     mk = lambda: SpeechDataLoader(ds, 4, shuffle=False, num_buckets=3,
