@@ -319,6 +319,22 @@ def test_fused_waveform_matches_streaming(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
 
+    # waveform x single-dispatch: the one-jit epoch program carries the
+    # same sample-count frac contract (the shipped waveform recipe sets
+    # fused_dispatch: "epoch")
+    from ctc_pytorch_tpu.train.loop import make_epoch_fns, run_epoch_single
+
+    st0b, _ = create_train_state(
+        jax.random.PRNGKey(0), spec, cfg.init_lr, cfg.weight_decay)
+    epoch_fns = make_epoch_fns(fns[2:], waveform=True)
+    dev_c = _loader(ds)
+    dev_c.set_epoch(1)
+    _, acc_1, loss_1 = run_epoch_single(
+        1, epoch_fns, st0b, dev_c, training=True, rng=rng_d,
+        log=lambda *a, **k: None)
+    assert loss_1 == pytest.approx(loss_s, rel=1e-5)
+    assert acc_1 == pytest.approx(acc_s, abs=1e-6)
+
 
 def test_trainer_uses_fused_path(tmp_path, monkeypatch):
     cfg, _, ds = _corpus(tmp_path, varied=False)
